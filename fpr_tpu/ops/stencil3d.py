@@ -1,0 +1,70 @@
+"""3D dual-time diffusion stencil — plain-jnp tier ("array programming").
+
+The pseudo-transient residual and update (reference
+diffusion_3D_step_tau, part1_kernel_programming.jl:46-58):
+
+    dHdtau = (Htau - Ht)/dt - D * nabla^2 Htau        (interior)
+    Htau'  = Htau - dtau * dHdtau                     (interior)
+
+Boundary cells are left untouched (Dirichlet faces stay at their initial
+value).  The flux-form macros @qx/@qy/@qz of the reference telescope into
+exactly this 7-point Laplacian.
+
+The array-programming variant of the reference
+(part1_array_programming.jl:9-18) computes the same update with opposite
+sign bookkeeping; both are provided for parity, sharing this implementation.
+
+Arrays are (nz, ny, nx), x last.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _lap3d_interior(H, _dx2, _dy2, _dz2):
+    Hi = H[1:-1, 1:-1, 1:-1]
+    return (
+        (H[1:-1, 1:-1, 2:] - 2.0 * Hi + H[1:-1, 1:-1, :-2]) * _dx2
+        + (H[1:-1, 2:, 1:-1] - 2.0 * Hi + H[1:-1, :-2, 1:-1]) * _dy2
+        + (H[2:, 1:-1, 1:-1] - 2.0 * Hi + H[:-2, 1:-1, 1:-1]) * _dz2
+    )
+
+
+def dual_time_step(Ht, Htau, dt, dtau, dx, dy, dz, D, with_norm=True):
+    """One pseudo-time iteration.
+
+    Returns (Htau_new, sumsq) where sumsq = sum(dHdtau^2) over the interior
+    (the boundary residual is identically zero in the reference since the
+    residual buffer starts at @zeros and is never written there).  The caller
+    turns sumsq into the convergence error err = sqrt(psum(sumsq)) * dt /
+    sqrt(total_N) (part1_kernel_programming.jl:191).
+    """
+    _dx2, _dy2, _dz2 = 1.0 / (dx * dx), 1.0 / (dy * dy), 1.0 / (dz * dz)
+    Hi = Htau[1:-1, 1:-1, 1:-1]
+    dHdtau = (Hi - Ht[1:-1, 1:-1, 1:-1]) / dt - D * _lap3d_interior(
+        Htau, _dx2, _dy2, _dz2
+    )
+    Htau_new = Htau.at[1:-1, 1:-1, 1:-1].set(Hi - dtau * dHdtau)
+    sumsq = jnp.sum(dHdtau * dHdtau) if with_norm else None
+    return Htau_new, sumsq
+
+
+def init_gaussian(grid, dtype=jnp.float32, x0=None, y0=None, z0=None):
+    """H = 2 exp(-((x-cx)^2 + (y-cy)^2 + (z-cz)^2)) at cell centers
+    (part1_utils.jl:1-12), center = domain center by default.
+
+    x0/y0/z0 optionally override the coordinate origin offsets for sharded
+    grids (each shard passes its global offset).
+    """
+    import numpy as np
+
+    cx, cy, cz = grid.lx / 2, grid.ly / 2, grid.lz / 2
+    x = (np.arange(grid.nx) + 0.5) * grid.dx + (x0 or 0.0)
+    y = (np.arange(grid.ny) + 0.5) * grid.dy + (y0 or 0.0)
+    z = (np.arange(grid.nz) + 0.5) * grid.dz + (z0 or 0.0)
+    X = x.reshape(1, 1, -1)
+    Y = y.reshape(1, -1, 1)
+    Z = z.reshape(-1, 1, 1)
+    H = 2.0 * np.exp(-((X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2))
+    return jnp.asarray(H, dtype=dtype)

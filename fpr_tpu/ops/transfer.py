@@ -1,0 +1,96 @@
+"""Multigrid inter-grid transfer operators: restriction and prolongation.
+
+Restriction is injection at coincident (odd) fine points
+(reference restrict!, multigrid.jl:330-337).
+
+Prolongation is bilinear interpolation.  The reference implements it as a
+*scatter* from each interior coarse point with weights {1, 1/2, 1/4} and
+needs GPU atomics because neighboring coarse points write overlapping fine
+points (multigrid.jl:403-420).  Pallas/TPU has no scatter-atomics, so we
+re-derive it as a *gather*: scattering weight w from every (zero-boundary)
+coarse point is identical to upsampling the coarse grid by 2 (zeros in
+between) and convolving with the separable kernel
+
+        [[1/4, 1/2, 1/4],
+         [1/2,  1 , 1/2],
+         [1/4, 1/2, 1/4]]
+
+which we evaluate with shifted adds.  Linearity makes the two forms exactly
+equal (unit-tested against a numpy scatter oracle in tests/test_transfer.py).
+
+Both transfers zero the target boundary and then optionally apply the
+Neumann left/right copy, exactly as restrict_wrapper!/prolongate_wrapper!
+(multigrid.jl:344-358, 451-472).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fpr_tpu.core import bc
+
+
+def restrict(fine: jnp.ndarray, apply_bcs: bool = False) -> jnp.ndarray:
+    """Injection restriction (ny, nx) -> ((ny-1)//2+1, (nx-1)//2+1)."""
+    coarse_full = fine[::2, ::2]
+    coarse = bc.zero_boundary_2d(coarse_full)
+    if apply_bcs:
+        coarse = bc.neumann_left_right(coarse)
+    return coarse
+
+
+def restrict_full_weighting(fine: jnp.ndarray, apply_bcs: bool = False) -> jnp.ndarray:
+    """Full-weighting restriction: 9-point average with weights
+    {1/4 center, 1/8 faces, 1/16 corners} — the adjoint of the bilinear
+    prolongation (scaled by 1/4).
+
+    Not present in the reference (which only has injection); needed for the
+    red-black Gauss-Seidel smoother, whose post-sweep residual lives on a
+    checkerboard that pure injection aliases (it samples only one color),
+    and preferred for the MG-preconditioned-CG composition where an
+    (almost) symmetric V-cycle improves robustness.
+    """
+    c = fine[2:-2:2, 2:-2:2] / 4.0
+    c = c + (
+        fine[1:-3:2, 2:-2:2] + fine[3:-1:2, 2:-2:2]
+        + fine[2:-2:2, 1:-3:2] + fine[2:-2:2, 3:-1:2]
+    ) / 8.0
+    c = c + (
+        fine[1:-3:2, 1:-3:2] + fine[1:-3:2, 3:-1:2]
+        + fine[3:-1:2, 1:-3:2] + fine[3:-1:2, 3:-1:2]
+    ) / 16.0
+    coarse = jnp.pad(c, 1)
+    if apply_bcs:
+        coarse = bc.neumann_left_right(coarse)
+    return coarse
+
+
+def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift with zero fill: out[i, j] = a[i - dy, j - dx] (0 outside)."""
+    ny, nx = a.shape
+    out = jnp.zeros_like(a)
+    src_y = slice(max(0, -dy), ny - max(0, dy))
+    src_x = slice(max(0, -dx), nx - max(0, dx))
+    dst_y = slice(max(0, dy), ny - max(0, -dy))
+    dst_x = slice(max(0, dx), nx - max(0, -dx))
+    return out.at[dst_y, dst_x].set(a[src_y, src_x])
+
+
+def prolongate(
+    coarse: jnp.ndarray, fine_shape: tuple[int, int], apply_bcs: bool = False
+) -> jnp.ndarray:
+    """Bilinear prolongation, gather form (== reference's atomic scatter)."""
+    ny_f, nx_f = fine_shape
+    c0 = bc.zero_boundary_2d(coarse)  # only interior coarse points scatter
+    up = jnp.zeros(fine_shape, dtype=coarse.dtype)
+    up = up.at[::2, ::2].set(c0)
+    half = 0.5 * (
+        _shift(up, 1, 0) + _shift(up, -1, 0) + _shift(up, 0, 1) + _shift(up, 0, -1)
+    )
+    quarter = 0.25 * (
+        _shift(up, 1, 1) + _shift(up, 1, -1) + _shift(up, -1, 1) + _shift(up, -1, -1)
+    )
+    fine = up + half + quarter
+    if apply_bcs:
+        fine = bc.neumann_left_right(fine)
+    return fine
