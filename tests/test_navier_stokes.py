@@ -1,0 +1,109 @@
+"""Cross-implementation parity: one explicit NS step vs the external
+Fortran solver's field dumps (the reference's strongest end-to-end test,
+test/part2.jl: 257x65, beta=0, Pr=1e-3, tol=1e-12, W from Winit.bin,
+interior atol 1e-8), plus intermediate-field checks against the extra
+fixture dumps and semi-implicit smoke tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpr_tpu.core.config import InitScheme, NSConfig
+from fpr_tpu.models import navier_stokes as ns
+from fpr_tpu.utils.io import load_fortran, save_fortran
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def fortran_cfg():
+    return NSConfig(
+        nx=257, ny=65, Pr=1.0e-3, Ra=1.0e6, beta=0.0, tol=1.0e-12,
+        ttot=0.1, W_init=InitScheme.FROM_ARRAY,
+    )
+
+
+@pytest.fixture(scope="module")
+def one_step(fortran_cfg):
+    W0 = load_fortran(os.path.join(FIX, "Winit.bin"))
+    return ns.simulate(fortran_cfg, W0=W0, max_steps=1)
+
+
+def _interior_close(got, ref, atol=1e-8):
+    return np.abs(got[1:-1, 1:-1] - ref[1:-1, 1:-1]).max()
+
+
+def test_fortran_loader_roundtrip(tmp_path):
+    W = load_fortran(os.path.join(FIX, "Winit.bin"))
+    assert W.shape == (65, 257)
+    p = tmp_path / "w.bin"
+    save_fortran(p, W)
+    np.testing.assert_array_equal(load_fortran(p), W)
+
+
+def test_cosine_init_matches_fortran(fortran_cfg):
+    Tinit = load_fortran(os.path.join(FIX, "Tinit.bin"))
+    T0 = np.asarray(ns.init_field(fortran_cfg, InitScheme.COSINE))
+    assert _interior_close(T0, Tinit, 0) < 1e-12
+
+
+def test_one_step_sizes(one_step):
+    for name in ("T", "W", "S"):
+        ref = load_fortran(os.path.join(FIX, f"{name}.bin"))
+        assert getattr(one_step, name).shape == ref.shape
+
+
+def test_one_step_values_vs_fortran(one_step):
+    # interior values at atol 1e-8, the reference's bar (test/part2.jl:32-37)
+    for name in ("T", "W", "S"):
+        ref = load_fortran(os.path.join(FIX, f"{name}.bin"))
+        err = _interior_close(getattr(one_step, name), ref)
+        assert err < 1e-8, f"{name}: max interior |diff| = {err:.3e}"
+
+
+def test_intermediates_vs_fortran(fortran_cfg):
+    # the fixture set also carries vx/vy/dT2/Ra_dTdx dumps from the same
+    # Fortran step — check our operator chain piecewise
+    W0 = jnp.asarray(load_fortran(os.path.join(FIX, "Winit.bin")))
+    T0 = ns.init_field(fortran_cfg, InitScheme.COSINE)
+    S0 = jnp.zeros_like(W0)
+    from fpr_tpu.core import bc
+    from fpr_tpu.ops import stencil2d as ops
+    from fpr_tpu.solvers.multigrid import mg_solve
+
+    h = fortran_cfg.h
+    S, _, _ = mg_solve(S0, W0, h, 0.0, 1e-12, 50)
+    vx, vy = ops.velocity(S, h, h)
+    assert _interior_close(np.asarray(vx), load_fortran(os.path.join(FIX, "vx.bin"))) < 1e-8
+    assert _interior_close(np.asarray(vy), load_fortran(os.path.join(FIX, "vy.bin"))) < 1e-8
+
+    T = bc.ns_temperature_bcs(T0)
+    dT2 = ops.diffusion(T, fortran_cfg.k, h, h)
+    dW2 = ops.diffusion(W0, fortran_cfg.Pr, h, h)
+    Ra_dTdx = ops.buoyancy(T, fortran_cfg.Ra, h)
+    assert _interior_close(np.asarray(dT2), load_fortran(os.path.join(FIX, "dT2.bin"))) < 1e-6
+    assert _interior_close(np.asarray(dW2), load_fortran(os.path.join(FIX, "dW2.bin"))) < 1e-8
+    assert _interior_close(np.asarray(Ra_dTdx), load_fortran(os.path.join(FIX, "Ra_dTdx.bin"))) < 1e-4
+
+
+def test_semi_implicit_smoke():
+    # a few semi-implicit steps on a small grid stay finite and bounded
+    cfg = NSConfig(nx=65, ny=17, beta=0.5, Pr=0.1, tol=1e-7, ttot=1.0)
+    out = ns.simulate(cfg, max_steps=5)
+    assert np.isfinite(out.T).all() and np.isfinite(out.W).all()
+    assert out.steps == 5
+    assert out.T.min() > -0.5 and out.T.max() < 1.5
+
+
+def test_explicit_vs_semi_implicit_dt():
+    # beta >= 0.5 takes the advective dt, explicit takes min(dt_dif, dt_adv)
+    # (compute_dt, part2.jl:76-87); with Pr small, dt_dif is tiny so the
+    # semi-implicit run takes far fewer steps for the same ttot
+    common = dict(nx=65, ny=17, Pr=1.0e-2, tol=1e-7, ttot=2e-2)
+    exp = ns.simulate(NSConfig(beta=0.0, **common), max_steps=400)
+    semi = ns.simulate(NSConfig(beta=0.5, **common), max_steps=400)
+    # average dt must be larger without the diffusive restriction
+    assert semi.sim_time / semi.steps > exp.sim_time / exp.steps
+    assert semi.steps <= exp.steps
