@@ -57,23 +57,20 @@ class DiffusionResult:
 def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
     """Build the jitted one-physical-step function."""
     dtau = pseudo_timestep(grid.dx, grid.dy, grid.dz, cfg.D)
-
-    if cfg.policy == ExecutionPolicy.PALLAS:
+    kw = dict(dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D)
+    pallas = cfg.policy == ExecutionPolicy.PALLAS
+    if pallas:
         from fpr_tpu.ops import pallas3d
 
-        step = functools.partial(
-            pallas3d.dual_time_step,
-            dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D,
-        )
+        step = functools.partial(pallas3d.dual_time_step_padded, **kw)
     else:
-        step = functools.partial(
-            stencil3d.dual_time_step,
-            dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D,
-        )
+        step = functools.partial(stencil3d.dual_time_step, **kw)
 
     sqrt_n = float(np.sqrt(total_n))
 
     def physical_step(Ht, Htau):
+        # Htau is z-ghost-padded under the Pallas policy (the fused kernel's
+        # native state layout), physical-shaped otherwise
         def cond(carry):
             _, err, it = carry
             return jnp.logical_and(err > cfg.tol, it < cfg.iter_max)
@@ -89,9 +86,12 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
             body,
             (Htau, jnp.asarray(jnp.inf, Htau.dtype), jnp.asarray(0, jnp.int32)),
         )
-        return Htau, Htau, err, iters  # Ht' = Htau (commit, ref :203)
+        from fpr_tpu.ops import pallas3d
 
-    return jax.jit(physical_step)
+        Ht_new = pallas3d.unpad3d(Htau) if pallas else Htau
+        return Ht_new, Htau, err, iters  # Ht' = Htau (commit, ref :203)
+
+    return jax.jit(physical_step), pallas
 
 
 def solve(
@@ -107,9 +107,14 @@ def solve(
 
     Ht = stencil3d.init_gaussian(grid, dtype=dtype)
     Ht = bc.dirichlet_faces_3d(Ht)
-    Htau = Ht
 
-    step = _step_fn(cfg, grid, total_n)
+    step, pallas = _step_fn(cfg, grid, total_n)
+    if pallas:
+        from fpr_tpu.ops import pallas3d
+
+        Htau = pallas3d.pad3d(Ht)
+    else:
+        Htau = Ht
 
     iters_total = 0
     timed_iters = 0

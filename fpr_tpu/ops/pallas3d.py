@@ -1,0 +1,258 @@
+"""Fused 3D dual-time diffusion step — Pallas TPU kernel.
+
+This is the TPU "kernel programming with shared memory" tier: the analog of
+the reference's CUDA shared-memory kernel
+(diffusion_3D_step_tau_shared_memory, part1_kernel_programming.jl:75-97),
+with a VMEM halo slab playing the role of the cooperative shared-memory tile.
+
+One kernel invocation performs, per z-slab of the grid:
+
+    dHdtau = (Htau - Ht)/dt - D * nabla^2 Htau      (7-point stencil)
+    Htau'  = Htau - dtau * dHdtau                    (interior cells only)
+    acc   += sum(dHdtau^2 over interior)             (for the convergence norm)
+
+so a full pseudo-time iteration *including the residual norm* is a single
+pass over HBM: read Ht once, read Htau (1 + 2/BZ)x (the slab plus its
+one-plane halo above and below), write Htau' once — ~3.1-4 words/cell vs
+the reference GPU kernel's counted 6+1 (part1_kernel_programming.jl:70-72)
+and ~5 materialized by the XLA-fused jnp tier.
+
+Design (chosen for Mosaic's tiling rules — the last two dims of any DMA
+slice must be tile-aligned, so halo windows can only be taken in the
+untiled z dimension):
+
+- Blocks are full (y, x) planes, BZ deep: neighbor access in y and x is a
+  static in-VMEM shift; the z halo comes from a (BZ+2)-plane slab DMA'd
+  from HBM.
+- The evolving field is stored ghost-padded in z as (nz+2, ny, nx)
+  (``pad3d``/``unpad3d``): every slab window [z0, z0+BZ+2) is then in
+  range with the block centered at constant offset 1 — no edge-block
+  special cases.  Ghost planes are never consumed: they only feed cells
+  masked as physical boundary (Dirichlet faces keep their values, matching
+  the reference's interior guard, part1_kernel_programming.jl:47).
+- Ht stays unpadded (its pipelined blocks align with the physical grid);
+  the output is written ghost-padded via explicit DMA (z offsets are
+  unconstrained) so it feeds straight back in as the next Htau.
+
+On non-TPU backends the kernel runs in interpreter mode (used by the f64
+parity tests); numerics are identical to fpr_tpu.ops.stencil3d.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pick_bz(nz: int, ny: int, nx: int, itemsize: int) -> int:
+    """Deepest z-block that fits the VMEM budget.
+
+    Resident buffers: 2 slabs (BZ+2 planes each) + 2 result buffers (BZ)
+    + pipelined Ht (2*BZ) = (6*BZ + 4) planes; keep under ~64 MiB
+    (v5e VMEM is large; the Mosaic limit is raised via CompilerParams).
+    """
+    plane = ny * nx * itemsize
+    budget = 64 * 1024 * 1024
+    best = 1
+    for b in range(1, nz + 1):
+        if nz % b == 0 and (6 * b + 4) * plane <= budget:
+            best = b
+    return best
+
+
+def pad3d(H):
+    """Physical (nz, ny, nx) -> z-ghost-padded (nz+2, ny, nx)."""
+    return jnp.pad(H, ((1, 1), (0, 0), (0, 0)))
+
+
+def unpad3d(Hp):
+    """z-ghost-padded -> physical view."""
+    return Hp[1:-1, :, :]
+
+
+def _shift_y(a, d):
+    """Static sublane shift with edge duplication (dup rows are masked)."""
+    if d == -1:
+        return jnp.concatenate([a[:, :1, :], a[:, :-1, :]], axis=1)
+    return jnp.concatenate([a[:, 1:, :], a[:, -1:, :]], axis=1)
+
+
+def _shift_x(a, d):
+    if d == -1:
+        return jnp.concatenate([a[:, :, :1], a[:, :, :-1]], axis=2)
+    return jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=2)
+
+
+def _dual_time_kernel(
+    ht_ref, htau_hbm, out_hbm, acc_ref, slabs, results, sem_in, sem_out,
+    *, BZ, nz, ny, nx, dt, dtau, D, dx, dy, dz,
+):
+    """Double-buffered: while block i computes, block i+1's halo slab is
+    in flight and block i-1's output is draining, so the HBM streams stay
+    busy across the (sequential) grid steps."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    z0 = i * BZ  # physical-block origin == padded slab origin
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    nslot = 1 - slot
+
+    def copy_in(block, s):
+        return pltpu.make_async_copy(
+            htau_hbm.at[pl.ds(block * BZ, BZ + 2), :, :], slabs.at[s], sem_in.at[s]
+        )
+
+    def copy_out(block, s):
+        return pltpu.make_async_copy(
+            results.at[s], out_hbm.at[pl.ds(block * BZ + 1, BZ), :, :], sem_out.at[s]
+        )
+
+    # prologue: kick off the first slab
+    @pl.when(i == 0)
+    def _():
+        copy_in(0, 0).start()
+
+    # prefetch next block's slab into the other slot
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy_in(i + 1, nslot).start()
+
+    copy_in(i, slot).wait()
+    slab = slabs.at[slot]
+
+    # before overwriting this slot's result buffer, drain its previous copy
+    @pl.when(i >= 2)
+    def _():
+        copy_out(i - 2, slot).wait()
+
+    center = slab[1 : BZ + 1, :, :]
+    zm = slab[0:BZ, :, :]
+    zp = slab[2 : BZ + 2, :, :]
+    ym = _shift_y(center, -1)
+    yp = _shift_y(center, +1)
+    xm = _shift_x(center, -1)
+    xp = _shift_x(center, +1)
+
+    dtype = center.dtype
+    _dx2 = jnp.asarray(1.0 / (dx * dx), dtype)
+    _dy2 = jnp.asarray(1.0 / (dy * dy), dtype)
+    _dz2 = jnp.asarray(1.0 / (dz * dz), dtype)
+    _dt = jnp.asarray(1.0 / dt, dtype)
+
+    lap = (
+        (xp - 2.0 * center + xm) * _dx2
+        + (yp - 2.0 * center + ym) * _dy2
+        + (zp - 2.0 * center + zm) * _dz2
+    )
+    dHdtau = (center - ht_ref[:, :, :]) * _dt - jnp.asarray(D, dtype) * lap
+
+    # mask of physical-interior cells
+    gz = z0 + jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 0)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 2)
+    interior = (
+        (gz > 0) & (gz < nz - 1)
+        & (gy > 0) & (gy < ny - 1)
+        & (gx > 0) & (gx < nx - 1)
+    )
+
+    dHdtau = jnp.where(interior, dHdtau, jnp.asarray(0.0, dtype))
+    results[slot, :, :, :] = center - jnp.asarray(dtau, dtype) * dHdtau
+
+    # scalar accumulator revisited by every (sequential) grid step
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = jnp.asarray(0.0, dtype)
+
+    acc_ref[0, 0] += jnp.sum(dHdtau * dHdtau)
+
+    copy_out(i, slot).start()
+
+    # epilogue: drain every outstanding output copy
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            copy_out(i - 1, nslot).wait()
+
+        copy_out(i, slot).wait()
+
+
+@functools.lru_cache(maxsize=64)
+def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
+    nz, ny, nx = shape  # physical shape
+    dtype = jnp.dtype(dtype_name)
+    grid = (nz // BZ,)
+
+    kernel = functools.partial(
+        _dual_time_kernel,
+        BZ=BZ, nz=nz, ny=ny, nx=nx,
+        dt=dt, dtau=dtau, D=D, dx=dx, dy=dy, dz=dz,
+    )
+    word = dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BZ, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz + 2, ny, nx), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BZ + 2, ny, nx), dtype),
+            pltpu.VMEM((2, BZ, ny, nx), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=27 * nz * ny * nx,
+            bytes_accessed=4 * word * nz * ny * nx,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+def dual_time_step_padded(Ht, Htau_padded, dt, dtau, dx, dy, dz, D, block_z=None):
+    """One fused pseudo-time iteration on z-ghost-padded state.
+
+    Ht is the physical (nz, ny, nx) anchor field; Htau_padded is
+    (nz+2, ny, nx).  Returns (Htau_padded', sumsq of dHdtau over the
+    physical interior).
+    """
+    nz, ny, nx = Ht.shape
+    BZ = block_z or _pick_bz(nz, ny, nx, jnp.dtype(Ht.dtype).itemsize)
+    call = _build_call(
+        (nz, ny, nx), jnp.dtype(Ht.dtype).name, BZ,
+        float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
+        not _on_tpu(),
+    )
+    out, acc = call(Ht, Htau_padded)
+    return out, acc[0, 0]
+
+
+def dual_time_step(Ht, Htau, dt, dtau, dx, dy, dz, D, with_norm=True):
+    """Drop-in replacement for stencil3d.dual_time_step on physical arrays.
+
+    Pads/unpads around the fused kernel — use the padded variant inside
+    iteration loops to avoid the pad/unpad copies.
+    """
+    out_p, sumsq = dual_time_step_padded(Ht, pad3d(Htau), dt, dtau, dx, dy, dz, D)
+    return unpad3d(out_p), (sumsq if with_norm else None)

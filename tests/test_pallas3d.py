@@ -1,0 +1,61 @@
+"""Pallas fused 3D kernel parity vs the jnp tier (interpreter mode on CPU,
+f64) — the analog of the reference's cross-variant golden test
+(test/part1.jl compares array / kernel / kernel+shmem against one file)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpr_tpu.ops import pallas3d, stencil3d
+
+
+@pytest.mark.parametrize(
+    "shape", [(8, 8, 16), (16, 8, 32), (12, 20, 24), (16, 16, 16)]
+)
+def test_dual_time_step_parity(rng, shape):
+    Ht = jnp.asarray(rng.random(shape))
+    Htau = jnp.asarray(rng.random(shape))
+    args = dict(dt=0.2, dtau=1e-3, dx=0.1, dy=0.11, dz=0.12, D=1.0)
+    ref, s_ref = stencil3d.dual_time_step(Ht, Htau, **args)
+    got, s_got = pallas3d.dual_time_step(Ht, Htau, **args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-14)
+    assert abs(float(s_got) - float(s_ref)) / float(s_ref) < 1e-12
+
+
+def test_pad_roundtrip(rng):
+    H = jnp.asarray(rng.random((6, 6, 8)))
+    np.testing.assert_array_equal(
+        np.asarray(pallas3d.unpad3d(pallas3d.pad3d(H))), np.asarray(H)
+    )
+
+
+def test_iterated_padded_state_matches_jnp(rng):
+    # several iterations feeding the ghost-padded state back in
+    shape = (12, 12, 16)
+    Ht = jnp.asarray(rng.random(shape))
+    Htau_j = jnp.asarray(rng.random(shape))
+    Htau_p = pallas3d.pad3d(Htau_j)
+    args = dict(dt=0.2, dtau=1e-3, dx=0.1, dy=0.1, dz=0.1, D=1.0)
+    for _ in range(5):
+        Htau_j, s_j = stencil3d.dual_time_step(Ht, Htau_j, **args)
+        Htau_p, s_p = pallas3d.dual_time_step_padded(Ht, Htau_p, **args)
+        assert abs(float(s_p) - float(s_j)) / max(float(s_j), 1e-300) < 1e-12
+    np.testing.assert_allclose(
+        np.asarray(pallas3d.unpad3d(Htau_p)), np.asarray(Htau_j), atol=1e-14
+    )
+
+
+def test_solver_with_pallas_policy(rng):
+    # end-to-end solve with the PALLAS policy (interpret mode) == JNP policy
+    from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
+    from fpr_tpu.models import diffusion3d
+
+    base = dict(nx=16, ny=16, nz=16, ttot=0.4, tol=1e-7)
+    o_j = diffusion3d.solve(
+        DiffusionConfig(policy=ExecutionPolicy.JNP, **base), dtype=jnp.float64
+    )
+    o_p = diffusion3d.solve(
+        DiffusionConfig(policy=ExecutionPolicy.PALLAS, **base), dtype=jnp.float64
+    )
+    assert o_j.iters_total == o_p.iters_total
+    np.testing.assert_allclose(o_p.H, o_j.H, atol=1e-13)
