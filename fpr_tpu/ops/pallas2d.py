@@ -1,0 +1,302 @@
+"""Fused 2D stencil kernels for the multigrid smoother/residual — Pallas TPU.
+
+The analog of the reference's shared-memory 2D kernels
+(residual_2DPoisson_shmem!, multigrid.jl:191-220; matvec shmem,
+krylov.jl:16-34), fused further: one kernel per damped-Jacobi smooth does
+
+    res  = (u_E + u_W + u_N + u_S - C u)/h^2 - f
+    u'   = u + alpha h^2/C * res         (interior only)
+    acc += sum(res^2 over interior)      (only when the norm is consumed)
+
+in a single HBM pass (~3.1 words/cell), where the reference runs a residual
+kernel, a separate device reduction, and a broadcast update per smooth
+(multigrid.jl:245-258).
+
+Row-padded layout
+-----------------
+2D arrays put rows in the (tile-constrained) sublane dimension, so halo
+windows must be 8-aligned in offset and size.  We store kernel operands
+row-padded ("rp"): PAD=8 ghost rows on top, and bottom padding up to
+8 + ceil(ny/BR)*BR rows, physical row y at padded row y+8 (``pad2d`` /
+``unpad2d``).  Every block's halo window [k*BR, k*BR+BR+16) is then
+tile-aligned, while the +-1 row shifts inside VMEM are static slices
+(which Mosaic supports unaligned).  Ghost/pad rows are never consumed:
+they only feed cells masked as outside the physical interior.
+
+All three streams (u slab, f block, output) move via explicit
+double-buffered DMA, overlapping with compute across the sequential grid.
+
+On non-TPU backends kernels run in interpreter mode (f64 parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 8  # ghost rows on top; also the sublane alignment quantum
+LANE = 128  # lane-dimension alignment: columns are padded to a multiple
+
+
+def _im32(*vals):
+    """x64-safe index map values: Mosaic requires i32 block indices."""
+    import jax.numpy as _jnp
+
+    return tuple(_jnp.asarray(v, _jnp.int32) for v in vals)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pick_br(ny: int, nx: int, itemsize: int) -> int:
+    """Block rows: multiple of 8, sized so ~6 buffered blocks fit VMEM."""
+    budget = 48 * 1024 * 1024
+    br = 512
+    while br > 8 and 6 * (br + 2 * PAD) * nx * itemsize > budget:
+        br //= 2
+    return max(8, br)
+
+
+def padded_rows(ny: int, br: int) -> int:
+    blocks = -(-ny // br)
+    return PAD + blocks * br + PAD
+
+
+def padded_cols(nx: int) -> int:
+    return -(-nx // LANE) * LANE
+
+
+def pad2d(a, br: int):
+    """Physical (ny, nx) -> row/col-padded (padded_rows, padded_cols),
+    zeros elsewhere."""
+    ny, nx = a.shape
+    total = padded_rows(ny, br)
+    return jnp.pad(a, ((PAD, total - ny - PAD), (0, padded_cols(nx) - nx)))
+
+
+def unpad2d(ap, ny: int, nx: int | None = None):
+    nx = ap.shape[1] if nx is None else nx
+    return ap[PAD : PAD + ny, :nx]
+
+
+def _stencil_kernel(
+    c_ref, u_hbm, f_hbm, out_hbm, acc_ref, slabs, fbufs, results, sem_u, sem_f, sem_out,
+    *, BR, ny, nx, nxp, h, alpha, mode, with_norm,
+):
+    """mode: 'smooth' (Jacobi update), 'residual' (write res), 'matvec'
+    (write (lap - c) u, ignoring f)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    nslot = 1 - slot
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def copy_u(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(block * BR, BR + 2 * PAD), :], slabs.at[s], sem_u.at[s]
+        )
+
+    def copy_f(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            f_hbm.at[pl.ds(block * BR + PAD, BR), :], fbufs.at[s], sem_f.at[s]
+        )
+
+    def copy_out(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            results.at[s], out_hbm.at[pl.ds(block * BR + PAD, BR), :], sem_out.at[s]
+        )
+
+    use_f = mode != "matvec"
+
+    @pl.when(i == 0)
+    def _():
+        copy_u(0, 0).start()
+        if use_f:
+            copy_f(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy_u(i + 1, nslot).start()
+        if use_f:
+            copy_f(i + 1, nslot).start()
+
+    copy_u(i, slot).wait()
+    if use_f:
+        copy_f(i, slot).wait()
+
+    @pl.when(i >= 2)
+    def _():
+        copy_out(i - 2, slot).wait()
+
+    slab = slabs.at[slot]
+    center = slab[PAD : PAD + BR, :]
+    up = slab[PAD - 1 : PAD - 1 + BR, :]
+    dn = slab[PAD + 1 : PAD + 1 + BR, :]
+    lf = jnp.concatenate([center[:, :1], center[:, :-1]], axis=1)
+    rt = jnp.concatenate([center[:, 1:], center[:, -1:]], axis=1)
+
+    dtype = center.dtype
+    c = c_ref[0, 0]
+    C = jnp.asarray(4.0, dtype) + c * jnp.asarray(h * h, dtype)
+    _h2 = jnp.asarray(1.0 / (h * h), dtype)
+
+    gy = i * BR + jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 1)
+    interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
+
+    if mode == "matvec":
+        val = (up + dn + lf + rt - 4.0 * center) * _h2 - c * center
+        out = jnp.where(interior, val, jnp.asarray(0.0, dtype))
+    else:
+        fblk = fbufs[slot, :, :]
+        res = jnp.where(
+            interior,
+            (up + dn + lf + rt - C * center) * _h2 - fblk,
+            jnp.asarray(0.0, dtype),
+        )
+        if mode == "smooth":
+            out = center + jnp.asarray(alpha, dtype) * (jnp.asarray(h * h, dtype) / C) * res
+        else:
+            out = res
+        if with_norm:
+            @pl.when(i == 0)
+            def _():
+                acc_ref[0, 0] = jnp.asarray(0.0, dtype)
+
+            acc_ref[0, 0] += jnp.sum(res * res)
+
+    results[slot, :, :] = out
+    copy_out(i, slot).start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            copy_out(i - 1, nslot).wait()
+
+        copy_out(i, slot).wait()
+
+
+@functools.lru_cache(maxsize=256)
+def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
+    dtype = jnp.dtype(dtype_name)
+    total = padded_rows(ny, BR)
+    nxp = padded_cols(nx)
+    n_blocks = (total - 2 * PAD) // BR
+    kernel = functools.partial(
+        _stencil_kernel,
+        BR=BR, ny=ny, nx=nx, nxp=nxp, h=h, alpha=alpha, mode=mode, with_norm=with_norm,
+    )
+    word = dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((total, nxp), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BR + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, BR, nxp), dtype),
+            pltpu.VMEM((2, BR, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * ny * nx,
+            bytes_accessed=3 * word * ny * nx,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+def _call(mode, u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, with_norm=False):
+    dtype_name = jnp.dtype(u_rp.dtype).name
+    call = _build(
+        ny, nx, dtype_name, br, float(h), float(alpha),
+        mode, bool(with_norm), not _on_tpu(),
+    )
+    c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
+    out, acc = call(c_arr, u_rp, f_rp if f_rp is not None else u_rp)
+    return out, acc[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# row-padded API (used by the multigrid V-cycle)
+# ---------------------------------------------------------------------------
+
+
+def smooth_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, with_norm=True):
+    """One fused damped-Jacobi smooth on row-padded operands.
+
+    Returns (u_rp', r_rms or None); r_rms matches the reference convention
+    sqrt(sum(res^2)/(nx*ny)) with res = 0 on the boundary ring
+    (multigrid.jl:245-258).
+    """
+    out, acc = _call("smooth", u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm)
+    r_rms = jnp.sqrt(acc / (nx * ny)) if with_norm else None
+    return out, r_rms
+
+
+def residual_rp(u_rp, f_rp, ny, nx, br, h, c):
+    """res = (nabla^2 - c)u - f, row-padded in and out."""
+    out, _ = _call("residual", u_rp, f_rp, ny, nx, br, h, c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# physical-layout drop-ins (parity tests, CG)
+# ---------------------------------------------------------------------------
+
+
+def _br_for(a):
+    return _pick_br(a.shape[0], a.shape[1], jnp.dtype(a.dtype).itemsize)
+
+
+def residual(u, f, h, c):
+    ny, nx = u.shape
+    br = _br_for(u)
+    out = residual_rp(pad2d(u, br), pad2d(f, br), ny, nx, br, h, c)
+    return unpad2d(out, ny, nx)
+
+
+def jacobi_step(u, f, h, c, alpha=0.8, with_norm=True):
+    ny, nx = u.shape
+    br = _br_for(u)
+    out, r_rms = smooth_rp(
+        pad2d(u, br), pad2d(f, br), ny, nx, br, h, c, alpha, with_norm
+    )
+    return unpad2d(out, ny, nx), r_rms
+
+
+def matvec(x, hx, hy, c):
+    """(nabla^2 - c) x; requires hx == hy (true everywhere in this code)."""
+    assert abs(hx - hy) < 1e-300 or hx == hy
+    ny, nx = x.shape
+    br = _br_for(x)
+    out, _ = _call("matvec", pad2d(x, br), None, ny, nx, br, hx, c)
+    return unpad2d(out, ny, nx)

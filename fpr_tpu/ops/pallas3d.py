@@ -48,6 +48,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _im32(*vals):
+    """x64-safe index map values: Mosaic requires i32 block indices."""
+    import jax.numpy as _jnp
+
+    return tuple(_jnp.asarray(v, _jnp.int32) for v in vals)
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -92,7 +99,7 @@ def _shift_x(a, d):
 
 
 def _dual_time_kernel(
-    ht_ref, htau_hbm, out_hbm, acc_ref, slabs, results, sem_in, sem_out,
+    zbounds_ref, ht_ref, htau_hbm, out_hbm, acc_ref, slabs, results, sem_in, sem_out,
     *, BZ, nz, ny, nx, dt, dtau, D, dx, dy, dz,
 ):
     """Double-buffered: while block i computes, block i+1's halo slab is
@@ -104,12 +111,17 @@ def _dual_time_kernel(
     slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
     nslot = 1 - slot
 
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
     def copy_in(block, s):
+        block, s = _i32(block), _i32(s)
         return pltpu.make_async_copy(
             htau_hbm.at[pl.ds(block * BZ, BZ + 2), :, :], slabs.at[s], sem_in.at[s]
         )
 
     def copy_out(block, s):
+        block, s = _i32(block), _i32(s)
         return pltpu.make_async_copy(
             results.at[s], out_hbm.at[pl.ds(block * BZ + 1, BZ), :, :], sem_out.at[s]
         )
@@ -157,8 +169,10 @@ def _dual_time_kernel(
     gz = z0 + jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 0)
     gy = jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 1)
     gx = jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 2)
+    # z bounds are dynamic: (1, nz-2) single-device, shard-dependent when the
+    # z axis is decomposed over a mesh (global faces only — see parallel.halo)
     interior = (
-        (gz > 0) & (gz < nz - 1)
+        (gz >= zbounds_ref[0]) & (gz <= zbounds_ref[1])
         & (gy > 0) & (gy < ny - 1)
         & (gx > 0) & (gx < nx - 1)
     )
@@ -201,12 +215,13 @@ def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BZ, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((BZ, ny, nx), lambda i: _im32(i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nz + 2, ny, nx), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nz + 2, ny, nx), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nz + 2, ny, nx), dtype),
@@ -230,12 +245,16 @@ def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
     )
 
 
-def dual_time_step_padded(Ht, Htau_padded, dt, dtau, dx, dy, dz, D, block_z=None):
+def dual_time_step_padded(
+    Ht, Htau_padded, dt, dtau, dx, dy, dz, D, block_z=None, z_bounds=None
+):
     """One fused pseudo-time iteration on z-ghost-padded state.
 
     Ht is the physical (nz, ny, nx) anchor field; Htau_padded is
-    (nz+2, ny, nx).  Returns (Htau_padded', sumsq of dHdtau over the
-    physical interior).
+    (nz+2, ny, nx).  z_bounds = (zlo, zhi) inclusive local-z range of
+    updateable cells — defaults to (1, nz-2) (single device, global Dirichlet
+    faces); sharded callers pass shard-dependent bounds.  Returns
+    (Htau_padded', sumsq of dHdtau over the updateable cells).
     """
     nz, ny, nx = Ht.shape
     BZ = block_z or _pick_bz(nz, ny, nx, jnp.dtype(Ht.dtype).itemsize)
@@ -244,7 +263,13 @@ def dual_time_step_padded(Ht, Htau_padded, dt, dtau, dx, dy, dz, D, block_z=None
         float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
         not _on_tpu(),
     )
-    out, acc = call(Ht, Htau_padded)
+    if z_bounds is None:
+        zb = jnp.asarray([1, nz - 2], jnp.int32)
+    else:
+        zb = jnp.stack(
+            [jnp.asarray(z_bounds[0], jnp.int32), jnp.asarray(z_bounds[1], jnp.int32)]
+        )
+    out, acc = call(zb, Ht, Htau_padded)
     return out, acc[0, 0]
 
 

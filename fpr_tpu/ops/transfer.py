@@ -65,6 +65,37 @@ def restrict_full_weighting(fine: jnp.ndarray, apply_bcs: bool = False) -> jnp.n
     return coarse
 
 
+def restrict_rp(
+    res_rp: jnp.ndarray, ny: int, nx: int, apply_bcs: bool = False
+) -> jnp.ndarray:
+    """Injection restriction straight from a row/col-padded fine array (see
+    fpr_tpu.ops.pallas2d) to a *physical* coarse array."""
+    from fpr_tpu.ops.pallas2d import PAD
+
+    coarse_full = res_rp[PAD : PAD + ny : 2, :nx:2]
+    coarse = bc.zero_boundary_2d(coarse_full)
+    if apply_bcs:
+        coarse = bc.neumann_left_right(coarse)
+    return coarse
+
+
+def prolongate_rp(
+    coarse: jnp.ndarray,
+    fine_shape: tuple[int, int],
+    rp_shape: tuple[int, int],
+    apply_bcs: bool = False,
+) -> jnp.ndarray:
+    """Bilinear prolongation from a physical coarse array directly into the
+    row/col-padded fine layout (pad cells zero)."""
+    from fpr_tpu.ops.pallas2d import PAD
+
+    fine = prolongate(coarse, fine_shape, apply_bcs=apply_bcs)
+    ny, nx = fine_shape
+    return (
+        jnp.zeros(rp_shape, fine.dtype).at[PAD : PAD + ny, :nx].set(fine)
+    )
+
+
 def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Shift with zero fill: out[i, j] = a[i - dy, j - dx] (0 outside)."""
     ny, nx = a.shape

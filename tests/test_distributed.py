@@ -1,0 +1,84 @@
+"""Distributed (shard_map) tests on the 8-virtual-device CPU mesh — real CI
+coverage of the halo/psum paths the reference never had (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
+from fpr_tpu.models import diffusion3d
+from fpr_tpu.parallel import dist_diffusion, halo
+from fpr_tpu.parallel.mesh import make_mesh
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_halo_exchange_roundtrip(rng):
+    mesh = make_mesh((4,), ("z",))
+    a = jnp.asarray(rng.random((16, 4, 8)))
+
+    def body(local):
+        below, above = halo.exchange_faces_z(local, "z")
+        return below, above
+
+    below, above = jax.jit(
+        shard_map(
+            body, mesh=mesh,
+            in_specs=(P("z", None, None),),
+            out_specs=(P("z", None, None), P("z", None, None)),
+        )
+    )(a)
+    below, above = np.asarray(below), np.asarray(above)
+    an = np.asarray(a)
+    # shard k's ghost-below = shard k-1's last plane; shard 0 gets zeros
+    assert np.all(below[0] == 0)
+    for k in range(1, 4):
+        np.testing.assert_array_equal(below[k], an[4 * k - 1])
+    # shard k's ghost-above = shard k+1's first plane; last shard gets zeros
+    assert np.all(above[3] == 0)
+    for k in range(0, 3):
+        np.testing.assert_array_equal(above[k], an[4 * (k + 1)])
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_distributed_matches_single_device(n_shards):
+    # strong-scaling setup: same global grid, sharded vs single device
+    nz_g = 32
+    cfg_single = DiffusionConfig(
+        nx=32, ny=32, nz=nz_g, ttot=0.4, tol=1e-7, policy=ExecutionPolicy.JNP
+    )
+    single = diffusion3d.solve(cfg_single, dtype=jnp.float64)
+
+    mesh = make_mesh((n_shards,), ("z",))
+    cfg_dist = DiffusionConfig(
+        nx=32, ny=32, nz=nz_g // n_shards, ttot=0.4, tol=1e-7,
+        policy=ExecutionPolicy.JNP,
+    )
+    dist = dist_diffusion.solve_distributed(cfg_dist, mesh, dtype=jnp.float64)
+
+    assert dist.n_devices == n_shards
+    assert dist.iters_total == single.iters_total
+    np.testing.assert_allclose(dist.H, single.H, atol=1e-13)
+
+
+def test_distributed_weak_scaling_physical_size():
+    # scale_physical_size keeps dx constant so per-shard work is invariant
+    # (part1_kernel_programming.jl:106-114)
+    mesh = make_mesh((4,), ("z",))
+    cfg = DiffusionConfig(
+        nx=16, ny=16, nz=8, ttot=0.2, tol=1e-6,
+        scale_physical_size=True, policy=ExecutionPolicy.JNP,
+    )
+    out = dist_diffusion.solve_distributed(cfg, mesh, dtype=jnp.float64)
+    g = dist_diffusion._global_grid(cfg, 4)
+    assert g.lz == pytest.approx(4 * 10.0)
+    # dz is invariant vs the single-shard run (10/8), so per-shard work is too
+    assert g.dz == pytest.approx(10.0 / 8)
+    assert out.converged
+    assert np.isfinite(out.H).all()

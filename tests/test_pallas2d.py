@@ -1,0 +1,95 @@
+"""Pallas 2D fused smoother/residual/matvec parity (interpreter mode, f64)
+and the row-padded V-cycle + mixed-precision defect-correction solvers."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpr_tpu.core.config import MGConfig
+from fpr_tpu.ops import pallas2d, stencil2d
+from fpr_tpu.solvers import multigrid
+
+
+@pytest.mark.parametrize("shape", [(17, 33), (33, 129), (65, 257)])
+@pytest.mark.parametrize("c", [0.0, 3.14])
+def test_kernels_match_jnp(rng, shape, c):
+    ny, nx = shape
+    u = jnp.asarray(rng.random(shape))
+    f = jnp.asarray(rng.random(shape))
+    h = 1.0 / (ny - 1)
+    scale = 1.0 / h**2  # residual magnitudes; ulp-level reassociation only
+
+    r_p = np.asarray(pallas2d.residual(u, f, h, c))
+    r_j = np.asarray(stencil2d.residual(u, f, h, c))
+    np.testing.assert_allclose(r_p, r_j, atol=1e-13 * scale)
+
+    u_p, n_p = pallas2d.jacobi_step(u, f, h, c)
+    u_j, n_j = stencil2d.jacobi_step(u, f, h, c)
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_j), atol=1e-14)
+    assert abs(float(n_p) - float(n_j)) < 1e-12 * scale
+
+    m_p = np.asarray(pallas2d.matvec(u, h, h, c))
+    m_j = np.asarray(stencil2d.matvec(u, h, h, c))
+    np.testing.assert_allclose(m_p, m_j, atol=1e-13 * scale)
+
+
+def test_pad_roundtrip(rng):
+    a = jnp.asarray(rng.random((33, 129)))
+    br = pallas2d._pick_br(33, 129, 8)
+    np.testing.assert_array_equal(
+        np.asarray(pallas2d.unpad2d(pallas2d.pad2d(a, br), 33, 129)), np.asarray(a)
+    )
+
+
+def _manufactured(n, h, rng):
+    from fpr_tpu.ops import oracle
+
+    xref = np.zeros((n, n))
+    xref[1:-1, 1:-1] = rng.random((n - 2, n - 2))
+    A = oracle.helmholtz_operator(n - 2, n - 2, h, 0.0)
+    b = np.zeros((n, n))
+    b[1:-1, 1:-1] = (A @ xref[1:-1, 1:-1].ravel()).reshape(n - 2, n - 2)
+    return xref, b
+
+
+def test_rp_vcycle_matches_jnp_vcycle(rng, monkeypatch):
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_SIDE", 65)
+    n = 129
+    h = 1.0 / (n - 1)
+    _, b = _manufactured(n, h, rng)
+    bj = jnp.asarray(b)
+    u1, r1, i1 = multigrid.mg_solve(jnp.zeros((n, n)), bj, h, 0.0, 1e-8, 30)
+    u2, r2, i2 = multigrid.mg_solve_rp(jnp.zeros((n, n)), bj, h, 0.0, 1e-8, 30)
+    assert int(i1) == int(i2)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-14)
+
+
+def test_mixed_precision_defect_correction(rng, monkeypatch):
+    # f64 storage + f32 Pallas inner V-cycles converges to the f64 answer
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_SIDE", 65)
+    n = 129
+    h = 1.0 / (n - 1)
+    xref, b = _manufactured(n, h, rng)
+    bj = jnp.asarray(b)
+    u, r, it = multigrid.mg_solve_mixed(jnp.zeros((n, n)), bj, h, 0.0, 1e-8, 40)
+    f_rms = np.sqrt((b**2).mean())
+    assert float(r) < 1e-8 * f_rms
+    rel = np.linalg.norm(np.asarray(u) - xref) / np.linalg.norm(xref)
+    assert rel < 1e-6
+    assert int(it) <= 20
+
+
+def test_mixed_helmholtz_with_bcs(rng, monkeypatch):
+    # the NS T-solve shape: Helmholtz shift + Dirichlet/Neumann BCs
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_SIDE", 65)
+    ny, nx = 65, 257
+    h = 1.0 / (ny - 1)
+    c = 50.0
+    b = jnp.asarray(rng.random((ny, nx)))
+    u_ref, r_ref, it_ref = multigrid.mg_solve(
+        jnp.zeros((ny, nx)), b, h, c, 1e-8, 40, apply_bcs=True
+    )
+    u_mix, r_mix, it_mix = multigrid.mg_solve_mixed(
+        jnp.zeros((ny, nx)), b, h, c, 1e-8, 40, apply_bcs=True
+    )
+    np.testing.assert_allclose(np.asarray(u_mix), np.asarray(u_ref), atol=1e-6)
