@@ -1,0 +1,130 @@
+"""Headline benchmark: prints ONE JSON line with the primary metric.
+
+Primary: 3D dual-time diffusion effective throughput (counted-bytes model)
+at 512^3 in f32 through the fused Pallas kernel, vs the reference's best
+single-GPU T_eff of 63.5 GB/s (Titan X, f64, hide_comm counting —
+BASELINE.md).  We report the same counted quantity the reference computes
+(part1_kernel_programming.jl:208-217) with the shared-memory-kernel model
+(6+1 words/cell/iteration) at our word size.
+
+Extras: MG 4097^2 Poisson time-to-tol 1e-6 via the mixed-precision
+(f64 defect correction around f32 Pallas V-cycles) solver, vs the V100's
+0.154 s (BASELINE.md).
+
+Usage: python bench.py [--quick]   (--quick: small shapes, smoke only)
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def bench_diffusion(n: int, iters_cap: int):
+    import jax.numpy as jnp
+
+    from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
+    from fpr_tpu.core.grid import Grid3D, pseudo_timestep
+    from fpr_tpu.ops import pallas3d, stencil3d
+    from fpr_tpu.core import bc
+    from fpr_tpu.utils.timing import diffusion_bench_results
+
+    grid = Grid3D(n, n, n)
+    dtau = pseudo_timestep(grid.dx, grid.dy, grid.dz, 1.0)
+    kw = dict(dt=0.2, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=1.0)
+
+    Ht = bc.dirichlet_faces_3d(stencil3d.init_gaussian(grid, dtype=jnp.float32))
+
+    @jax.jit
+    def iterate(Ht, Hp, k):
+        def body(i, carry):
+            Hp, acc = carry
+            Hp, sumsq = pallas3d.dual_time_step_padded(Ht, Hp, **kw)
+            return Hp, acc + sumsq
+        Hp, acc = jax.lax.fori_loop(0, k, body, (Hp, jnp.float32(0)))
+        return Hp, acc
+
+    Hp = pallas3d.pad3d(Ht)
+    Hp, acc = iterate(Ht, Hp, 10)  # warmup + compile
+    float(acc)
+    t0 = time.time()
+    Hp, acc = iterate(Ht, Hp, iters_cap)
+    float(acc)
+    dt_s = time.time() - t0
+    res = diffusion_bench_results(
+        dt_s, iters_cap, n, n, n, word_bytes=4, model="shmem"
+    )
+    return res
+
+
+def bench_mg(n: int, tol: float):
+    import jax.numpy as jnp
+
+    from fpr_tpu.solvers.multigrid import mg_solve_mixed_jit
+
+    h = 1.0 / (n - 1)
+    key = jax.random.PRNGKey(0)
+    b = (
+        jnp.zeros((n, n), jnp.float64)
+        .at[1:-1, 1:-1]
+        .set(jax.random.uniform(key, (n - 2, n - 2), jnp.float64))
+    )
+    u0 = jnp.zeros((n, n), jnp.float64)
+    # compile + converge once
+    u, r, it = mg_solve_mixed_jit(u0, b, h, 0.0, tol, 30)
+    float(r)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        u, r, it = mg_solve_mixed_jit(u0, b, h, 0.0, tol, 30)
+        float(r)
+        best = min(best, time.time() - t0)
+    f_rms = float(jnp.sqrt(jnp.mean(b * b)))
+    return best, int(it), float(r) / f_rms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-mg", action="store_true")
+    args = ap.parse_args()
+
+    jax.config.update("jax_enable_x64", True)
+
+    n_diff = 128 if args.quick else 512
+    iters = 100 if args.quick else 300
+    res = bench_diffusion(n_diff, iters)
+    teff = res.throughput / 1e9
+
+    extras = {
+        "diffusion_grid": f"{n_diff}^3",
+        "diffusion_ms_per_iter": res.delta_t / iters * 1e3,
+        "diffusion_gflops": res.performance / 1e9,
+        "dtype": "float32",
+        "counting_model": "shmem (6+1 words/cell/iter), reference parity",
+    }
+
+    if not args.skip_mg:
+        n_mg = 1025 if args.quick else 4097
+        mg_s, mg_iters, mg_rel = bench_mg(n_mg, 1e-6)
+        extras.update({
+            "mg_grid": f"{n_mg}^2",
+            "mg_seconds_to_tol1e-6": mg_s,
+            "mg_outer_iterations": mg_iters,
+            "mg_vs_v100_0.154s": 0.154 / mg_s if n_mg == 4097 else None,
+        })
+
+    out = {
+        "metric": f"3D dual-time diffusion T_eff (counted 6+1 model) at {n_diff}^3, f32, TPU v5e",
+        "value": round(teff, 1),
+        "unit": "GB/s",
+        "vs_baseline": round(teff / 63.5, 2),
+        "extras": extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

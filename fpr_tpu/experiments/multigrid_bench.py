@@ -1,0 +1,117 @@
+"""Multigrid benchmark sweep — the analog of multigrid_bench.jl: time
+MGsolve to tol=1e-6 over k x l x coarse-solver x solver-tier, CSV with
+resume, try/except continue per config (multigrid_bench.jl:41-62).
+
+Adds the work-precision comparison the BASELINE north star asks for:
+MG-as-solver vs unpreconditioned CG vs MG-preconditioned CG.
+
+    python -m fpr_tpu.experiments.multigrid_bench --max-k 12
+    python -m fpr_tpu.experiments.multigrid_bench --workprec --max-k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-k", type=int, default=4)
+    ap.add_argument("--max-k", type=int, default=12)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--out", default="benchmark-results/bench_multigrid.csv")
+    ap.add_argument("--workprec", action="store_true",
+                    help="MG vs CG vs MG-PCG comparison instead of the k/l sweep")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fpr_tpu.core.config import CoarseSolver, MGConfig
+    from fpr_tpu.solvers import krylov, multigrid
+    from fpr_tpu.utils.io import append_csv_row
+
+    backend = jax.default_backend()
+    key = jax.random.PRNGKey(0)
+
+    def rhs(n, dtype):
+        return (
+            jnp.zeros((n, n), dtype)
+            .at[1:-1, 1:-1]
+            .set(jax.random.uniform(key, (n - 2, n - 2), dtype))
+        )
+
+    def timed(fn):
+        r = fn()
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, r
+        )
+        float(r[1])  # force through the tunnel
+        t0 = time.time()
+        r = fn()
+        float(r[1])
+        return time.time() - t0, r
+
+    if args.workprec:
+        for k in range(args.min_k, args.max_k + 1):
+            n = 2**k + 1
+            h = 1.0 / (n - 1)
+            b = rhs(n, jnp.float64)
+            u0 = jnp.zeros((n, n), jnp.float64)
+            configs = {
+                "mg": lambda: multigrid.mg_solve_jit(u0, b, h, 0.0, args.tol, 30),
+                "mixed": lambda: multigrid.mg_solve_mixed_jit(u0, b, h, 0.0, args.tol, 30),
+                "cg": lambda: krylov.cg(b, h, h, 0.0, args.tol, 20000),
+                "mg_pcg": lambda: krylov.mg_preconditioned_cg(b, h, 0.0, args.tol, 100),
+            }
+            for name, fn in configs.items():
+                try:
+                    dt, (u, r, it) = timed(jax.jit(fn))
+                except Exception as exc:
+                    print(f"k={k} {name}: FAILED {type(exc).__name__}")
+                    continue
+                row = dict(k=k, solver=name, backend=backend,
+                           seconds=round(dt, 4), iters=int(it))
+                append_csv_row(args.out, row, key_fields=("k", "solver", "backend"))
+                print(row)
+        return
+
+    for k in range(args.min_k, args.max_k + 1):
+        for l in range(2, min(k - 2, 4)):
+            for coarse in (CoarseSolver.JACOBI, CoarseSolver.CG):
+                for solver in ("direct", "mixed"):
+                    n = 2**k + 1
+                    h = 1.0 / (n - 1)
+                    cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse)
+                    dtype = jnp.float64
+                    b = rhs(n, dtype)
+                    u0 = jnp.zeros((n, n), dtype)
+                    try:
+                        if solver == "mixed":
+                            fn = lambda: multigrid.mg_solve_mixed_jit(
+                                u0, b, h, 0.0, args.tol, 30, cfg=cfg
+                            )
+                        else:
+                            fn = lambda: multigrid.mg_solve_jit(
+                                u0, b, h, 0.0, args.tol, 30, cfg=cfg
+                            )
+                        dt, (u, r, it) = timed(fn)
+                    except Exception as exc:
+                        print(f"k={k} l={l} {coarse.value} {solver}: FAILED {type(exc).__name__}")
+                        continue
+                    row = dict(
+                        k=k, l=l, coarse=coarse.value, solver=solver,
+                        backend=backend, seconds=round(dt, 4), iters=int(it),
+                    )
+                    append_csv_row(
+                        args.out, row,
+                        key_fields=("k", "l", "coarse", "solver", "backend"),
+                    )
+                    print(row)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Semi-implicit vs explicit NS timestepping experiment — the analog of
+part2_semi_implicit_vs_explicit_experiments.jl: sweep Pr in 10^(-3..1) x
+beta in {0, 0.5, 1} on a 2049x513 grid, ttot=0.005, tol=1e-7, recording
+steps and wall time (the reference's headline 51x semi-implicit speedup at
+Pr=0.01, BASELINE.md).
+
+    python -m fpr_tpu.experiments.ns_timestepping            # full grid
+    python -m fpr_tpu.experiments.ns_timestepping --small    # 513x129 smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--out", default="benchmark-results/ns_semi_implicit_vs_explicit.csv")
+    ap.add_argument("--ttot", type=float, default=0.005)
+    ap.add_argument("--tol", type=float, default=1e-7)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=100000)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fpr_tpu.core.config import NSConfig
+    from fpr_tpu.models import navier_stokes as ns
+    from fpr_tpu.utils.io import append_csv_row
+
+    nx, ny = (513, 129) if args.small else (2049, 513)
+    backend = jax.default_backend()
+    dtype = jnp.float64 if args.f64 else jnp.float32
+
+    for Pr in (1e-3, 1e-2, 1e-1, 1.0, 10.0):
+        for beta in (0.0, 0.5, 1.0):
+            cfg = NSConfig(
+                nx=nx, ny=ny, Pr=Pr, beta=beta, ttot=args.ttot, tol=args.tol,
+                niters=50,
+            )
+            try:
+                out = ns.simulate(cfg, dtype=dtype, max_steps=args.max_steps)
+            except Exception as exc:
+                print(f"Pr={Pr} beta={beta}: FAILED {type(exc).__name__}: {exc}")
+                continue
+            row = dict(
+                Pr=Pr, beta=beta, nx=nx, ny=ny, backend=backend,
+                steps=out.steps, timed_steps=out.timed_iters,
+                seconds=round(out.t_elapsed, 3),
+            )
+            append_csv_row(args.out, row, key_fields=("Pr", "beta", "nx", "backend"))
+            print(row)
+
+
+if __name__ == "__main__":
+    main()

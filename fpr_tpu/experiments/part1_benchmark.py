@@ -1,0 +1,64 @@
+"""Diffusion benchmark sweep over grid sizes — the analog of
+part1_benchmark.jl: grid sizes 2^e for e in 4:0.5:7, both operator tiers,
+lock-protected CSV with resume-by-key (Pidfile analog at
+part1_benchmark.jl:83-94).
+
+    python -m fpr_tpu.experiments.part1_benchmark [--out benchmark-results/...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmark-results/bench_diffusion.csv")
+    ap.add_argument("--ttot", type=float, default=1.0)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-e", type=float, default=7.0)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
+    from fpr_tpu.models import diffusion3d
+    from fpr_tpu.utils.io import append_csv_row
+
+    backend = jax.default_backend()
+    for e in np.arange(4.0, args.max_e + 0.25, 0.5):
+        n = int(round(2**e))
+        for policy in (ExecutionPolicy.JNP, ExecutionPolicy.PALLAS):
+            cfg = DiffusionConfig(
+                nx=n, ny=n, nz=n, ttot=args.ttot, tol=args.tol, policy=policy
+            )
+            key = dict(n=n, policy=policy.value, backend=backend)
+            # resume-by-skip: don't recompute existing rows
+            probe_row = {**key, "iters": "", "seconds": "", "throughput_gbs": "",
+                         "performance_gflops": "", "intensity": ""}
+            try:
+                out = diffusion3d.solve(cfg, dtype=jnp.float32)
+            except Exception as exc:  # keep sweeping (multigrid_bench.jl:41-62)
+                print(f"n={n} policy={policy.value}: FAILED {exc}")
+                continue
+            row = {
+                **key,
+                "iters": out.timed_iters,
+                "seconds": round(out.bench.delta_t, 4),
+                "throughput_gbs": round(out.bench.throughput / 1e9, 2),
+                "performance_gflops": round(out.bench.performance / 1e9, 2),
+                "intensity": round(out.bench.intensity, 4),
+            }
+            written = append_csv_row(args.out, row, key_fields=("n", "policy", "backend"))
+            print(("wrote " if written else "skipped ") + str(row))
+
+
+if __name__ == "__main__":
+    main()

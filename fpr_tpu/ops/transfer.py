@@ -25,14 +25,55 @@ Neumann left/right copy, exactly as restrict_wrapper!/prolongate_wrapper!
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fpr_tpu.core import bc
 
+# bilinear prolongation stencil == transpose of full-weighting (x4)
+_BILINEAR = np.asarray(
+    [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
+)
+
+
+def _conv2d(x, kernel, strides, padding):
+    """Single-channel 2D convolution via lax (TPU-optimized path)."""
+    k = jnp.asarray(kernel, x.dtype)
+    return jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        k[None, None, :, :],
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+
+
+def _conv2d_transpose_x2(x, kernel):
+    """Stride-2 transposed conv: the scatter-with-kernel upsampling.
+
+    out[2i+di, 2j+dj] accumulates kernel[1+di, 1+dj] * x[i, j] — exactly the
+    reference's prolongation scatter (multigrid.jl:403-420) when x has a
+    zero boundary.  Output shape (2*ny-1, 2*nx-1).
+    """
+    k = jnp.asarray(kernel, x.dtype)
+    return jax.lax.conv_general_dilated(
+        x[None, None, :, :],
+        k[None, None, :, :],
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+
 
 def restrict(fine: jnp.ndarray, apply_bcs: bool = False) -> jnp.ndarray:
-    """Injection restriction (ny, nx) -> ((ny-1)//2+1, (nx-1)//2+1)."""
-    coarse_full = fine[::2, ::2]
+    """Injection restriction (ny, nx) -> ((ny-1)//2+1, (nx-1)//2+1).
+
+    TPU note: the stride is taken one axis at a time — XLA lowers the fused
+    [::2, ::2] slice to a pathological gather (~13x slower than two passes).
+    """
+    coarse_full = fine[::2, :][:, ::2]
     coarse = bc.zero_boundary_2d(coarse_full)
     if apply_bcs:
         coarse = bc.neumann_left_right(coarse)
@@ -50,16 +91,19 @@ def restrict_full_weighting(fine: jnp.ndarray, apply_bcs: bool = False) -> jnp.n
     and preferred for the MG-preconditioned-CG composition where an
     (almost) symmetric V-cycle improves robustness.
     """
-    c = fine[2:-2:2, 2:-2:2] / 4.0
-    c = c + (
-        fine[1:-3:2, 2:-2:2] + fine[3:-1:2, 2:-2:2]
-        + fine[2:-2:2, 1:-3:2] + fine[2:-2:2, 3:-1:2]
-    ) / 8.0
-    c = c + (
-        fine[1:-3:2, 1:-3:2] + fine[1:-3:2, 3:-1:2]
-        + fine[3:-1:2, 1:-3:2] + fine[3:-1:2, 3:-1:2]
-    ) / 16.0
-    coarse = jnp.pad(c, 1)
+    # separable blur (1/4, 1/2, 1/4) in each axis, then two-pass stride-2
+    def blur_x(a):
+        l = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+        r = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        return 0.25 * l + 0.5 * a + 0.25 * r
+
+    def blur_y(a):
+        u = jnp.concatenate([a[:1, :], a[:-1, :]], axis=0)
+        d = jnp.concatenate([a[1:, :], a[-1:, :]], axis=0)
+        return 0.25 * u + 0.5 * a + 0.25 * d
+
+    blurred = blur_y(blur_x(fine))
+    coarse = bc.zero_boundary_2d(blurred[::2, :][:, ::2])
     if apply_bcs:
         coarse = bc.neumann_left_right(coarse)
     return coarse
@@ -72,11 +116,7 @@ def restrict_rp(
     fpr_tpu.ops.pallas2d) to a *physical* coarse array."""
     from fpr_tpu.ops.pallas2d import PAD
 
-    coarse_full = res_rp[PAD : PAD + ny : 2, :nx:2]
-    coarse = bc.zero_boundary_2d(coarse_full)
-    if apply_bcs:
-        coarse = bc.neumann_left_right(coarse)
-    return coarse
+    return restrict(res_rp[PAD : PAD + ny, :nx], apply_bcs=apply_bcs)
 
 
 def prolongate_rp(
@@ -110,7 +150,36 @@ def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 def prolongate(
     coarse: jnp.ndarray, fine_shape: tuple[int, int], apply_bcs: bool = False
 ) -> jnp.ndarray:
-    """Bilinear prolongation, gather form (== reference's atomic scatter)."""
+    """Bilinear prolongation, gather form (== reference's atomic scatter),
+    built by parity: the four fine-point classes are the coarse values and
+    their x/y/xy midpoint averages, interleaved with stack+reshape — the
+    TPU-fast formulation (~1.9 ms at 4097^2 vs ~31 ms for shift-scatter and
+    ~4.4 ms for a 1-channel transposed conv, which also drops to bf16).
+    """
+    ny_f, nx_f = fine_shape
+    c = bc.zero_boundary_2d(coarse)
+    nyc, nxc = c.shape
+    cx = (c[:, :-1] + c[:, 1:]) * 0.5        # x midpoints   (nyc, nxc-1)
+    cy = (c[:-1, :] + c[1:, :]) * 0.5        # y midpoints   (nyc-1, nxc)
+    cxy = (cy[:, :-1] + cy[:, 1:]) * 0.5     # cell centers  (nyc-1, nxc-1)
+
+    even = jnp.stack([c[:, :-1], cx], axis=2).reshape(nyc, 2 * (nxc - 1))
+    even = jnp.concatenate([even, c[:, -1:]], axis=1)       # rows 2i
+    odd = jnp.stack([cy[:, :-1], cxy], axis=2).reshape(nyc - 1, 2 * (nxc - 1))
+    odd = jnp.concatenate([odd, cy[:, -1:]], axis=1)        # rows 2i+1
+    fine = jnp.stack([even[:-1], odd], axis=1).reshape(2 * (nyc - 1), nx_f)
+    fine = jnp.concatenate([fine, even[-1:]], axis=0)
+    assert fine.shape == tuple(fine_shape), (fine.shape, fine_shape)
+    if apply_bcs:
+        fine = bc.neumann_left_right(fine)
+    return fine
+
+
+def prolongate_shifts(
+    coarse: jnp.ndarray, fine_shape: tuple[int, int], apply_bcs: bool = False
+) -> jnp.ndarray:
+    """Shift-based prolongation (kept as an independent implementation for
+    the conv == shifts == numpy-scatter cross-check in tests)."""
     ny_f, nx_f = fine_shape
     c0 = bc.zero_boundary_2d(coarse)  # only interior coarse points scatter
     up = jnp.zeros(fine_shape, dtype=coarse.dtype)

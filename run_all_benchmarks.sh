@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Master benchmark runner — the analog of the reference's
+# run_all_benchmarks.sh: runs every sweep, skipping work whose CSV rows
+# already exist (each experiment resumes by key), then renders the figures.
+set -uo pipefail
+
+RESULTS=${RESULTS:-benchmark-results}
+PY=${PY:-python}
+
+echo "== diffusion grid sweep =="
+$PY -m fpr_tpu.experiments.part1_benchmark --out "$RESULTS/bench_diffusion.csv" "$@"
+
+echo "== diffusion scaling (all local devices) =="
+$PY -m fpr_tpu.experiments.part1_scaling --mode strong --out "$RESULTS/diffusion_scaling.csv"
+$PY -m fpr_tpu.experiments.part1_scaling --mode weak --out "$RESULTS/diffusion_scaling.csv"
+
+echo "== work-precision =="
+$PY -m fpr_tpu.experiments.part1_error_experiments --mode grid
+$PY -m fpr_tpu.experiments.part1_error_experiments --mode tol --n 128
+
+echo "== multigrid sweep =="
+$PY -m fpr_tpu.experiments.multigrid_bench --max-k 12
+$PY -m fpr_tpu.experiments.multigrid_bench --workprec --max-k 10 \
+    --out "$RESULTS/mg_workprecision.csv"
+
+echo "== NS timestepping =="
+$PY -m fpr_tpu.experiments.ns_timestepping --small
+
+echo "== plots =="
+$PY -m fpr_tpu.plotting.plots --results "$RESULTS" --figs figs

@@ -97,14 +97,19 @@ def test_restriction_injection(rng):
 
 
 def test_prolongation_gather_equals_scatter(rng):
-    # the gather rewrite must be numerically identical to the reference's
-    # atomic scatter (multigrid.jl:403-420) — linearity makes this exact
+    # all three implementations (transposed-conv, shift-gather, and the
+    # reference-style numpy scatter, multigrid.jl:403-420) must agree —
+    # linearity makes this exact
     for (nc_y, nc_x) in [(9, 9), (5, 17), (9, 33)]:
         coarse = rng.random((nc_y, nc_x))
         fine_shape = (2 * (nc_y - 1) + 1, 2 * (nc_x - 1) + 1)
         got = np.asarray(transfer.prolongate(jnp.asarray(coarse), fine_shape))
+        got_shifts = np.asarray(
+            transfer.prolongate_shifts(jnp.asarray(coarse), fine_shape)
+        )
         ref = oracle.prolongate_scatter(coarse, fine_shape)
         np.testing.assert_allclose(got, ref, rtol=1e-14, atol=1e-14)
+        np.testing.assert_allclose(got_shifts, ref, rtol=1e-14, atol=1e-14)
 
 
 def test_full_weighting_is_scaled_adjoint_of_prolongation(rng):
