@@ -37,16 +37,19 @@ def bench_diffusion(n: int, iters_cap: int):
 
     Ht = bc.dirichlet_faces_3d(stencil3d.init_gaussian(grid, dtype=jnp.float32))
 
+    shape = (n, n, n)
+
     @jax.jit
-    def iterate(Ht, Hp, k):
+    def iterate(Htp, Hp, k):
         def body(i, carry):
             Hp, acc = carry
-            Hp, sumsq = pallas3d.dual_time_step_padded(Ht, Hp, **kw)
+            Hp, sumsq = pallas3d.dual_time_step_padded(Htp, Hp, shape, **kw)
             return Hp, acc + sumsq
         Hp, acc = jax.lax.fori_loop(0, k, body, (Hp, jnp.float32(0)))
         return Hp, acc
 
     Hp = pallas3d.pad3d(Ht)
+    Ht = pallas3d.pad_ht(Ht)
     Hp, acc = iterate(Ht, Hp, 10)  # warmup + compile
     float(acc)
     t0 = time.time()

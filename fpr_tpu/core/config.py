@@ -126,6 +126,10 @@ class NSConfig:
     T_init: InitScheme = InitScheme.COSINE
     W_init: InitScheme = InitScheme.RANDOM
     mg: MGConfig = MGConfig()
+    # "direct": mg_solve in the simulation dtype; "mixed": f64 defect
+    # correction around f32 Pallas V-cycles (the TPU path for tight
+    # tolerances on large grids — f32 alone can't represent the residual)
+    mg_solver: str = "direct"
 
     @property
     def h(self) -> float:

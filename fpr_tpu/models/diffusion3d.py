@@ -59,25 +59,34 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
     dtau = pseudo_timestep(grid.dx, grid.dy, grid.dz, cfg.D)
     kw = dict(dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D)
     pallas = cfg.policy == ExecutionPolicy.PALLAS
+    shape = (cfg.nz, cfg.ny, cfg.nx)
     if pallas:
         from fpr_tpu.ops import pallas3d
 
-        step = functools.partial(pallas3d.dual_time_step_padded, **kw)
+        def step(Ht_pad, Hp):
+            return pallas3d.dual_time_step_padded(Ht_pad, Hp, shape, **kw)
     else:
         step = functools.partial(stencil3d.dual_time_step, **kw)
 
     sqrt_n = float(np.sqrt(total_n))
 
     def physical_step(Ht, Htau):
-        # Htau is z-ghost-padded under the Pallas policy (the fused kernel's
-        # native state layout), physical-shaped otherwise
+        # Htau is ghost/tile-padded under the Pallas policy (the fused
+        # kernel's native state layout), physical-shaped otherwise
+        if pallas:
+            from fpr_tpu.ops import pallas3d
+
+            Ht_in = pallas3d.pad_ht(Ht)  # once per physical step
+        else:
+            Ht_in = Ht
+
         def cond(carry):
             _, err, it = carry
             return jnp.logical_and(err > cfg.tol, it < cfg.iter_max)
 
         def body(carry):
             Htau, _, it = carry
-            Htau, sumsq = step(Ht, Htau)
+            Htau, sumsq = step(Ht_in, Htau)
             err = jnp.sqrt(sumsq) * cfg.dt / sqrt_n
             return Htau, err.astype(Htau.dtype), it + 1
 
@@ -86,9 +95,12 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
             body,
             (Htau, jnp.asarray(jnp.inf, Htau.dtype), jnp.asarray(0, jnp.int32)),
         )
-        from fpr_tpu.ops import pallas3d
+        if pallas:
+            from fpr_tpu.ops import pallas3d
 
-        Ht_new = pallas3d.unpad3d(Htau) if pallas else Htau
+            Ht_new = pallas3d.unpad3d(Htau, shape)
+        else:
+            Ht_new = Htau
         return Ht_new, Htau, err, iters  # Ht' = Htau (commit, ref :203)
 
     return jax.jit(physical_step), pallas

@@ -40,7 +40,7 @@ import numpy as np
 from fpr_tpu.core import bc
 from fpr_tpu.core.config import InitScheme, NSConfig
 from fpr_tpu.ops import stencil2d as ops
-from fpr_tpu.solvers.multigrid import mg_solve
+from fpr_tpu.solvers.multigrid import mg_solve, mg_solve_mixed
 
 
 @dataclasses.dataclass
@@ -96,9 +96,10 @@ def _needs_diffusion_term(beta: float) -> bool:
 def ns_step(T, W, S, cfg: NSConfig):
     """One NS timestep; returns (T, W, S, dt).  Pure; jit with cfg static."""
     h = cfg.h
+    solve = mg_solve_mixed if cfg.mg_solver == "mixed" else mg_solve
 
     # 1. streamfunction solve  nabla^2 S = W, Dirichlet 0 (part2.jl:187)
-    S, _, _ = mg_solve(S, W, h, 0.0, cfg.tol, cfg.niters, apply_bcs=False, cfg=cfg.mg)
+    S, _, _ = solve(S, W, h, 0.0, cfg.tol, cfg.niters, apply_bcs=False, cfg=cfg.mg)
 
     # 2. velocity from S (part2.jl:190-193)
     vx, vy = ops.velocity(S, h, h)
@@ -130,10 +131,10 @@ def ns_step(T, W, S, cfg: NSConfig):
     if _semi_implicit(cfg.beta):
         c = 1.0 / (cfg.beta * dt)
         T_rhs = -c * (T + dt * ((1.0 - cfg.beta) * dT2 - dTx - dTy))
-        T, _, _ = mg_solve(T, T_rhs, h, c, cfg.tol, cfg.niters, apply_bcs=True, cfg=cfg.mg)
+        T, _, _ = solve(T, T_rhs, h, c, cfg.tol, cfg.niters, apply_bcs=True, cfg=cfg.mg)
         cW = c / cfg.Pr
         W_rhs = -cW * (W + dt * ((1.0 - cfg.beta) * dW2 - dWx - dWy - cfg.Pr * Ra_dTdx))
-        W, _, _ = mg_solve(W, W_rhs, h, cW, cfg.tol, cfg.niters, apply_bcs=False, cfg=cfg.mg)
+        W, _, _ = solve(W, W_rhs, h, cW, cfg.tol, cfg.niters, apply_bcs=False, cfg=cfg.mg)
     else:
         T = T + dt * (dT2 - dTx - dTy)
         W = W + dt * (dW2 - dWx - dWy - cfg.Pr * Ra_dTdx)

@@ -75,14 +75,36 @@ def _pick_bz(nz: int, ny: int, nx: int, itemsize: int) -> int:
     return best
 
 
+def _pad_yx(ny: int, nx: int) -> tuple[int, int]:
+    """Tile-aligned (sublane, lane) sizes: Mosaic DMA slices must either be
+    tile-multiples or span the full *padded* dimension, so the stored layout
+    rounds y to 8 and x to 128."""
+    return -(-ny // 8) * 8, -(-nx // 128) * 128
+
+
 def pad3d(H):
-    """Physical (nz, ny, nx) -> z-ghost-padded (nz+2, ny, nx)."""
-    return jnp.pad(H, ((1, 1), (0, 0), (0, 0)))
+    """Physical (nz, ny, nx) -> ghost/tile-padded (nz+2, ny8, nx128).
+
+    One z-ghost plane on each side; y/x padded up to tile multiples (the pad
+    cells are masked out of every update and norm)."""
+    nz, ny, nx = H.shape
+    ny8, nx128 = _pad_yx(ny, nx)
+    return jnp.pad(H, ((1, 1), (0, ny8 - ny), (0, nx128 - nx)))
 
 
-def unpad3d(Hp):
-    """z-ghost-padded -> physical view."""
-    return Hp[1:-1, :, :]
+def pad_ht(H):
+    """Physical Ht -> tile-padded (nz, ny8, nx128) (no z ghosts)."""
+    nz, ny, nx = H.shape
+    ny8, nx128 = _pad_yx(ny, nx)
+    return jnp.pad(H, ((0, 0), (0, ny8 - ny), (0, nx128 - nx)))
+
+
+def unpad3d(Hp, shape=None):
+    """Ghost/tile-padded -> physical view."""
+    if shape is None:
+        return Hp[1:-1, :, :]
+    nz, ny, nx = shape
+    return Hp[1 : 1 + nz, :ny, :nx]
 
 
 def _shift_y(a, d):
@@ -100,7 +122,7 @@ def _shift_x(a, d):
 
 def _dual_time_kernel(
     zbounds_ref, ht_ref, htau_hbm, out_hbm, acc_ref, slabs, results, sem_in, sem_out,
-    *, BZ, nz, ny, nx, dt, dtau, D, dx, dy, dz,
+    *, BZ, nz, ny, nx, nyp, nxp, dt, dtau, D, dx, dy, dz,
 ):
     """Double-buffered: while block i computes, block i+1's halo slab is
     in flight and block i-1's output is draining, so the HBM streams stay
@@ -165,10 +187,10 @@ def _dual_time_kernel(
     )
     dHdtau = (center - ht_ref[:, :, :]) * _dt - jnp.asarray(D, dtype) * lap
 
-    # mask of physical-interior cells
-    gz = z0 + jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 0)
-    gy = jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 1)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (BZ, ny, nx), 2)
+    # mask of physical-interior cells (y/x tile-pad cells excluded too)
+    gz = z0 + jax.lax.broadcasted_iota(jnp.int32, (BZ, nyp, nxp), 0)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (BZ, nyp, nxp), 1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (BZ, nyp, nxp), 2)
     # z bounds are dynamic: (1, nz-2) single-device, shard-dependent when the
     # z axis is decomposed over a mesh (global faces only — see parallel.halo)
     interior = (
@@ -201,13 +223,14 @@ def _dual_time_kernel(
 
 @functools.lru_cache(maxsize=64)
 def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
-    nz, ny, nx = shape  # physical shape
+    nz, ny, nx = shape  # logical physical shape
+    nyp, nxp = _pad_yx(ny, nx)  # stored tile-padded shape
     dtype = jnp.dtype(dtype_name)
     grid = (nz // BZ,)
 
     kernel = functools.partial(
         _dual_time_kernel,
-        BZ=BZ, nz=nz, ny=ny, nx=nx,
+        BZ=BZ, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp,
         dt=dt, dtau=dtau, D=D, dx=dx, dy=dy, dz=dz,
     )
     word = dtype.itemsize
@@ -216,20 +239,20 @@ def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((BZ, ny, nx), lambda i: _im32(i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nz + 2, ny, nx), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((BZ, nyp, nxp), lambda i: _im32(i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((nz + 2, ny, nx), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nz + 2, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nz + 2, nyp, nxp), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BZ + 2, ny, nx), dtype),
-            pltpu.VMEM((2, BZ, ny, nx), dtype),
+            pltpu.VMEM((2, BZ + 2, nyp, nxp), dtype),
+            pltpu.VMEM((2, BZ, nyp, nxp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -246,20 +269,22 @@ def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
 
 
 def dual_time_step_padded(
-    Ht, Htau_padded, dt, dtau, dx, dy, dz, D, block_z=None, z_bounds=None
+    Ht_padded, Htau_padded, shape, dt, dtau, dx, dy, dz, D,
+    block_z=None, z_bounds=None,
 ):
-    """One fused pseudo-time iteration on z-ghost-padded state.
+    """One fused pseudo-time iteration on ghost/tile-padded state.
 
-    Ht is the physical (nz, ny, nx) anchor field; Htau_padded is
-    (nz+2, ny, nx).  z_bounds = (zlo, zhi) inclusive local-z range of
-    updateable cells — defaults to (1, nz-2) (single device, global Dirichlet
-    faces); sharded callers pass shard-dependent bounds.  Returns
-    (Htau_padded', sumsq of dHdtau over the updateable cells).
+    shape is the logical (nz, ny, nx); Ht_padded is ``pad_ht``-shaped
+    (nz, ny8, nx128) and Htau_padded ``pad3d``-shaped (nz+2, ny8, nx128).
+    z_bounds = (zlo, zhi) inclusive local-z range of updateable cells —
+    defaults to (1, nz-2) (single device, global Dirichlet faces); sharded
+    callers pass shard-dependent bounds.  Returns (Htau_padded', sumsq of
+    dHdtau over the updateable cells).
     """
-    nz, ny, nx = Ht.shape
-    BZ = block_z or _pick_bz(nz, ny, nx, jnp.dtype(Ht.dtype).itemsize)
+    nz, ny, nx = shape
+    BZ = block_z or _pick_bz(nz, *_pad_yx(ny, nx), jnp.dtype(Ht_padded.dtype).itemsize)
     call = _build_call(
-        (nz, ny, nx), jnp.dtype(Ht.dtype).name, BZ,
+        tuple(shape), jnp.dtype(Ht_padded.dtype).name, BZ,
         float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
         not _on_tpu(),
     )
@@ -269,7 +294,7 @@ def dual_time_step_padded(
         zb = jnp.stack(
             [jnp.asarray(z_bounds[0], jnp.int32), jnp.asarray(z_bounds[1], jnp.int32)]
         )
-    out, acc = call(zb, Ht, Htau_padded)
+    out, acc = call(zb, Ht_padded, Htau_padded)
     return out, acc[0, 0]
 
 
@@ -279,5 +304,7 @@ def dual_time_step(Ht, Htau, dt, dtau, dx, dy, dz, D, with_norm=True):
     Pads/unpads around the fused kernel — use the padded variant inside
     iteration loops to avoid the pad/unpad copies.
     """
-    out_p, sumsq = dual_time_step_padded(Ht, pad3d(Htau), dt, dtau, dx, dy, dz, D)
-    return unpad3d(out_p), (sumsq if with_norm else None)
+    out_p, sumsq = dual_time_step_padded(
+        pad_ht(Ht), pad3d(Htau), Ht.shape, dt, dtau, dx, dy, dz, D
+    )
+    return unpad3d(out_p, Ht.shape), (sumsq if with_norm else None)

@@ -69,9 +69,18 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
     kw = dict(dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D)
     use_pallas = cfg.policy == ExecutionPolicy.PALLAS
 
+    local_shape = (cfg.nz, cfg.ny, cfg.nx)
+
     def shard_body(Ht_l, Htau_l):
         zlo, zhi = halo.z_mask_bounds(axis, cfg.nz)
-        Hp = jnp.pad(Htau_l, ((1, 1), (0, 0), (0, 0)))
+        if use_pallas:
+            from fpr_tpu.ops import pallas3d
+
+            Hp = pallas3d.pad3d(Htau_l)
+            Ht_in = pallas3d.pad_ht(Ht_l)
+        else:
+            Hp = jnp.pad(Htau_l, ((1, 1), (0, 0), (0, 0)))
+            Ht_in = Ht_l
 
         def cond(carry):
             _, err, it = carry
@@ -84,11 +93,11 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
                 from fpr_tpu.ops import pallas3d
 
                 Hp, sumsq = pallas3d.dual_time_step_padded(
-                    Ht_l, Hp, z_bounds=(zlo, zhi), **kw
+                    Ht_in, Hp, local_shape, z_bounds=(zlo, zhi), **kw
                 )
             else:
                 Hp, sumsq = stencil3d.dual_time_step_zext(
-                    Ht_l, Hp, zlo=zlo, zhi=zhi, **kw
+                    Ht_in, Hp, zlo=zlo, zhi=zhi, **kw
                 )
             err = jnp.sqrt(jax.lax.psum(sumsq, axis)) * cfg.dt / sqrt_n
             return Hp, err.astype(Hp.dtype), it + 1
@@ -98,7 +107,12 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
             body,
             (Hp, jnp.asarray(jnp.inf, Hp.dtype), jnp.asarray(0, jnp.int32)),
         )
-        Ht_new = Hp[1:-1, :, :]
+        if use_pallas:
+            from fpr_tpu.ops import pallas3d
+
+            Ht_new = pallas3d.unpad3d(Hp, local_shape)
+        else:
+            Ht_new = Hp[1:-1, :, :]
         return Ht_new, Ht_new, err, iters
 
     spec = P(axis, None, None)

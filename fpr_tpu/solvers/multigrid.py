@@ -196,22 +196,23 @@ def mg_solve_jit(u0, f, h, c, tol, niters, apply_bcs=False, cfg=MGConfig()):
 # Pallas row-padded V-cycle (ExecutionPolicy.PALLAS fast path)
 # ---------------------------------------------------------------------------
 
-# below this edge length a level drops to the jnp tier (kernel launch
+# below this cell count a level drops to the jnp tier (kernel launch
 # overhead beats the arithmetic on small grids, and each extra level adds
-# Mosaic kernel variants to compile)
-PALLAS_MIN_SIDE = 1025
+# Mosaic kernel variants to compile); area-based so wide NS rectangles
+# (e.g. 513 x 2049) still take the fused kernels
+PALLAS_MIN_AREA = 1024 * 1024
 
 
 def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     """One V-cycle on row-padded operands with the fused Pallas smoother at
-    large levels, handing the subtree below PALLAS_MIN_SIDE to the jnp tier.
+    large levels, handing the subtree below PALLAS_MIN_AREA to the jnp tier.
 
     Semantics identical to ``vcycle`` (Jacobi smoother only).
     Returns (u_rp', r_rms of the final fine-level smooth).
     """
     from fpr_tpu.ops import pallas2d, transfer
 
-    if min(ny, nx) < PALLAS_MIN_SIDE:
+    if ny * nx < PALLAS_MIN_AREA:
         u = pallas2d.unpad2d(u_rp, ny, nx)
         f = pallas2d.unpad2d(f_rp, ny, nx)
         u, r_rms = vcycle(u, f, h, c, tol, cfg, apply_bcs=apply_bcs)

@@ -53,7 +53,7 @@ def _manufactured(n, h, rng):
 
 
 def test_rp_vcycle_matches_jnp_vcycle(rng, monkeypatch):
-    monkeypatch.setattr(multigrid, "PALLAS_MIN_SIDE", 65)
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
     n = 129
     h = 1.0 / (n - 1)
     _, b = _manufactured(n, h, rng)
@@ -66,7 +66,7 @@ def test_rp_vcycle_matches_jnp_vcycle(rng, monkeypatch):
 
 def test_mixed_precision_defect_correction(rng, monkeypatch):
     # f64 storage + f32 Pallas inner V-cycles converges to the f64 answer
-    monkeypatch.setattr(multigrid, "PALLAS_MIN_SIDE", 65)
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
     n = 129
     h = 1.0 / (n - 1)
     xref, b = _manufactured(n, h, rng)
@@ -81,7 +81,7 @@ def test_mixed_precision_defect_correction(rng, monkeypatch):
 
 def test_mixed_helmholtz_with_bcs(rng, monkeypatch):
     # the NS T-solve shape: Helmholtz shift + Dirichlet/Neumann BCs
-    monkeypatch.setattr(multigrid, "PALLAS_MIN_SIDE", 65)
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
     ny, nx = 65, 257
     h = 1.0 / (ny - 1)
     c = 50.0

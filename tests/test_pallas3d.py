@@ -25,8 +25,10 @@ def test_dual_time_step_parity(rng, shape):
 def test_pad_roundtrip(rng):
     H = jnp.asarray(rng.random((6, 6, 8)))
     np.testing.assert_array_equal(
-        np.asarray(pallas3d.unpad3d(pallas3d.pad3d(H))), np.asarray(H)
+        np.asarray(pallas3d.unpad3d(pallas3d.pad3d(H), H.shape)), np.asarray(H)
     )
+    assert pallas3d.pad3d(H).shape == (8, 8, 128)  # tile-padded y/x
+    assert pallas3d.pad_ht(H).shape == (6, 8, 128)
 
 
 def test_iterated_padded_state_matches_jnp(rng):
@@ -35,13 +37,14 @@ def test_iterated_padded_state_matches_jnp(rng):
     Ht = jnp.asarray(rng.random(shape))
     Htau_j = jnp.asarray(rng.random(shape))
     Htau_p = pallas3d.pad3d(Htau_j)
+    Ht_p = pallas3d.pad_ht(Ht)
     args = dict(dt=0.2, dtau=1e-3, dx=0.1, dy=0.1, dz=0.1, D=1.0)
     for _ in range(5):
         Htau_j, s_j = stencil3d.dual_time_step(Ht, Htau_j, **args)
-        Htau_p, s_p = pallas3d.dual_time_step_padded(Ht, Htau_p, **args)
+        Htau_p, s_p = pallas3d.dual_time_step_padded(Ht_p, Htau_p, shape, **args)
         assert abs(float(s_p) - float(s_j)) / max(float(s_j), 1e-300) < 1e-12
     np.testing.assert_allclose(
-        np.asarray(pallas3d.unpad3d(Htau_p)), np.asarray(Htau_j), atol=1e-14
+        np.asarray(pallas3d.unpad3d(Htau_p, shape)), np.asarray(Htau_j), atol=1e-14
     )
 
 
