@@ -19,6 +19,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--min-k", type=int, default=4)
     ap.add_argument("--max-k", type=int, default=12)
+    ap.add_argument("--max-l", type=int, default=3)
+    ap.add_argument("--solvers", default="direct,mixed")
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--out", default="benchmark-results/bench_multigrid.csv")
     ap.add_argument("--workprec", action="store_true",
@@ -80,9 +82,9 @@ def main():
         return
 
     for k in range(args.min_k, args.max_k + 1):
-        for l in range(2, min(k - 2, 4)):
+        for l in range(2, min(k - 2, args.max_l + 1)):
             for coarse in (CoarseSolver.JACOBI, CoarseSolver.CG):
-                for solver in ("direct", "mixed"):
+                for solver in args.solvers.split(","):
                     n = 2**k + 1
                     h = 1.0 / (n - 1)
                     cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse)
