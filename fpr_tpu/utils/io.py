@@ -20,7 +20,21 @@ import numpy as np
 
 
 def load_fortran(path) -> np.ndarray:
-    """Read an (nx, ny) column-major f64 field -> (ny, nx) row-major array."""
+    """Read an (nx, ny) column-major f64 field -> (ny, nx) row-major array.
+
+    Uses the native C++ reader (fpr_tpu.utils.native, bit-identical — see
+    tests/test_native.py) when the library is available, else numpy.
+    """
+    from fpr_tpu.utils import native
+
+    try:
+        out = native.load_fortran_native(path)
+        if out is not None:
+            return out
+    except IOError:
+        raise
+    except Exception:
+        pass
     with open(path, "rb") as f:
         nx = int(np.fromfile(f, dtype=np.int32, count=1)[0])
         ny = int(np.fromfile(f, dtype=np.int32, count=1)[0])
