@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-7)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--max-steps", type=int, default=100000)
+    ap.add_argument("--solver", choices=["direct", "mixed"], default="direct")
+    ap.add_argument("--Pr", type=float, default=None, help="single-Pr run")
     args = ap.parse_args()
 
     import jax
@@ -35,13 +37,18 @@ def main():
 
     nx, ny = (513, 129) if args.small else (2049, 513)
     backend = jax.default_backend()
-    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.solver == "mixed":
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+    else:
+        dtype = jnp.float64 if args.f64 else jnp.float32
 
-    for Pr in (1e-3, 1e-2, 1e-1, 1.0, 10.0):
+    pr_values = [args.Pr] if args.Pr is not None else [1e-3, 1e-2, 1e-1, 1.0, 10.0]
+    for Pr in pr_values:
         for beta in (0.0, 0.5, 1.0):
             cfg = NSConfig(
                 nx=nx, ny=ny, Pr=Pr, beta=beta, ttot=args.ttot, tol=args.tol,
-                niters=50,
+                niters=50, mg_solver=args.solver,
             )
             try:
                 out = ns.simulate(cfg, dtype=dtype, max_steps=args.max_steps)
@@ -50,10 +57,12 @@ def main():
                 continue
             row = dict(
                 Pr=Pr, beta=beta, nx=nx, ny=ny, backend=backend,
-                steps=out.steps, timed_steps=out.timed_iters,
-                seconds=round(out.t_elapsed, 3),
+                solver=args.solver, steps=out.steps,
+                timed_steps=out.timed_iters, seconds=round(out.t_elapsed, 3),
             )
-            append_csv_row(args.out, row, key_fields=("Pr", "beta", "nx", "backend"))
+            append_csv_row(
+                args.out, row, key_fields=("Pr", "beta", "nx", "backend", "solver")
+            )
             print(row)
 
 

@@ -116,12 +116,23 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
         return Ht_new, Ht_new, err, iters
 
     spec = P(axis, None, None)
-    step = shard_map(
-        shard_body,
-        mesh=mesh,
-        in_specs=(spec, spec),
-        out_specs=(spec, spec, P(), P()),
-    )
+    try:
+        # pallas_call outputs don't carry vma metadata yet; disable the check
+        step = shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, spec, P(), P()),
+            check_vma=False,
+        )
+    except TypeError:  # older jax: the flag was called check_rep
+        step = shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, spec, P(), P()),
+            check_rep=False,
+        )
     return jax.jit(step), grid
 
 
