@@ -25,47 +25,9 @@ Neumann left/right copy, exactly as restrict_wrapper!/prolongate_wrapper!
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from fpr_tpu.core import bc
-
-# bilinear prolongation stencil == transpose of full-weighting (x4)
-_BILINEAR = np.asarray(
-    [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
-)
-
-
-def _conv2d(x, kernel, strides, padding):
-    """Single-channel 2D convolution via lax (TPU-optimized path)."""
-    k = jnp.asarray(kernel, x.dtype)
-    return jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, :, :],
-        window_strides=strides,
-        padding=padding,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-
-
-def _conv2d_transpose_x2(x, kernel):
-    """Stride-2 transposed conv: the scatter-with-kernel upsampling.
-
-    out[2i+di, 2j+dj] accumulates kernel[1+di, 1+dj] * x[i, j] — exactly the
-    reference's prolongation scatter (multigrid.jl:403-420) when x has a
-    zero boundary.  Output shape (2*ny-1, 2*nx-1).
-    """
-    k = jnp.asarray(kernel, x.dtype)
-    return jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, :, :],
-        window_strides=(1, 1),
-        padding=((1, 1), (1, 1)),
-        lhs_dilation=(2, 2),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-
 
 def restrict(fine: jnp.ndarray, apply_bcs: bool = False) -> jnp.ndarray:
     """Injection restriction (ny, nx) -> ((ny-1)//2+1, (nx-1)//2+1).
