@@ -37,6 +37,7 @@ def residual(u: jnp.ndarray, f: jnp.ndarray, h: float, c) -> jnp.ndarray:
     Uses the reference's fused form (u_E + u_W + u_N + u_S - C*u)/h^2 - f
     with C = 4 + c*h^2 (multigrid.jl:173-188).
     """
+    c = jnp.asarray(c, u.dtype)  # a strong f64 shift must not promote f32 fields
     C = 4.0 + c * h * h
     inner = (
         u[1:-1, 2:] + u[1:-1, :-2] + u[2:, 1:-1] + u[:-2, 1:-1]
@@ -47,6 +48,7 @@ def residual(u: jnp.ndarray, f: jnp.ndarray, h: float, c) -> jnp.ndarray:
 
 def matvec(x: jnp.ndarray, hx: float, hy: float, c) -> jnp.ndarray:
     """(nabla^2 - c) x on the interior, 0 on the boundary (krylov.jl:7-13)."""
+    c = jnp.asarray(c, x.dtype)
     inner = (
         (x[1:-1, 2:] - 2.0 * x[1:-1, 1:-1] + x[1:-1, :-2]) / (hx * hx)
         + (x[2:, 1:-1] - 2.0 * x[1:-1, 1:-1] + x[:-2, 1:-1]) / (hy * hy)
@@ -63,6 +65,7 @@ def jacobi_step(u, f, h, c, alpha=0.8, with_norm=True):
     (boundary zeros included, as the reference divides by nx*ny) — or
     (u_new, None) when with_norm=False to avoid the reduction.
     """
+    c = jnp.asarray(c, u.dtype)
     C = 4.0 + c * h * h
     res = residual(u, f, h, c)
     r_rms = rms(res) if with_norm else None
@@ -84,6 +87,7 @@ def red_black_gs_step(u, f, h, c, with_norm=True):
     iy = jnp.arange(ny).reshape(-1, 1)
     ix = jnp.arange(nx).reshape(1, -1)
     red = ((ix + iy) % 2 == 0).astype(u.dtype)
+    c = jnp.asarray(c, u.dtype)
     C = 4.0 + c * h * h
     res0 = residual(u, f, h, c)
     r_rms = rms(res0) if with_norm else None

@@ -222,10 +222,15 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     br = pallas2d._pick_br(ny, nx, jnp.dtype(u_rp.dtype).itemsize)
     alpha = cfg.jacobi_damping
 
-    for _ in range(cfg.pre_smooth):
-        u_rp, _ = pallas2d.smooth_rp(
+    if cfg.pre_smooth == 2:
+        u_rp, _ = pallas2d.smooth2_rp(
             u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=False
         )
+    else:
+        for _ in range(cfg.pre_smooth):
+            u_rp, _ = pallas2d.smooth_rp(
+                u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=False
+            )
 
     res_rp = pallas2d.residual_rp(u_rp, f_rp, ny, nx, br, h, c)
     res_c = transfer.restrict_rp(res_rp, ny, nx, apply_bcs=apply_bcs)
@@ -245,14 +250,19 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     )
     u_rp = u_rp - corr_f
 
-    r_rms = None
-    for s in range(cfg.post_smooth):
-        want = s == cfg.post_smooth - 1
-        u_rp, r = pallas2d.smooth_rp(
-            u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=want
+    if cfg.post_smooth == 2:
+        u_rp, r_rms = pallas2d.smooth2_rp(
+            u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=True
         )
-        if want:
-            r_rms = r
+    else:
+        r_rms = None
+        for s in range(cfg.post_smooth):
+            want = s == cfg.post_smooth - 1
+            u_rp, r = pallas2d.smooth_rp(
+                u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=want
+            )
+            if want:
+                r_rms = r
     return u_rp, r_rms
 
 
