@@ -24,7 +24,7 @@ def _manufactured(n, h, c, rng):
 
 @pytest.mark.parametrize("coarse_solver", [CoarseSolver.JACOBI, CoarseSolver.CG])
 @pytest.mark.parametrize("l", [2, 3])
-@pytest.mark.parametrize("k", [5, 6, 7])
+@pytest.mark.parametrize("k", [7, 8, 9, 10])
 def test_mg_converges_within_20_vcycles(rng, k, l, coarse_solver):
     n = 2**k + 1
     h = 1.0 / (n - 1)
