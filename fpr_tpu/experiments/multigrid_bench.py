@@ -34,7 +34,7 @@ def main():
 
     from fpr_tpu.core.config import CoarseSolver, MGConfig
     from fpr_tpu.solvers import krylov, multigrid
-    from fpr_tpu.utils.io import append_csv_row
+    from fpr_tpu.utils.io import append_csv_row, csv_has_row
 
     backend = jax.default_backend()
     key = jax.random.PRNGKey(0)
@@ -70,6 +70,8 @@ def main():
                 "mg_pcg": lambda: krylov.mg_preconditioned_cg(b, h, 0.0, args.tol, 100),
             }
             for name, fn in configs.items():
+                if csv_has_row(args.out, dict(k=k, solver=name, backend=backend)):
+                    continue
                 try:
                     dt, (u, r, it) = timed(jax.jit(fn))
                 except Exception as exc:
@@ -85,6 +87,9 @@ def main():
         for l in range(2, min(k - 2, args.max_l + 1)):
             for coarse in (CoarseSolver.JACOBI, CoarseSolver.CG):
                 for solver in args.solvers.split(","):
+                    if csv_has_row(args.out, dict(k=k, l=l, coarse=coarse.value,
+                                                  solver=solver, backend=backend)):
+                        continue
                     n = 2**k + 1
                     h = 1.0 / (n - 1)
                     cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse)

@@ -33,7 +33,7 @@ def main():
 
     from fpr_tpu.core.config import NSConfig
     from fpr_tpu.models import navier_stokes as ns
-    from fpr_tpu.utils.io import append_csv_row
+    from fpr_tpu.utils.io import append_csv_row, csv_has_row
 
     nx, ny = (513, 129) if args.small else (2049, 513)
     backend = jax.default_backend()
@@ -46,6 +46,10 @@ def main():
     pr_values = [args.Pr] if args.Pr is not None else [1e-3, 1e-2, 1e-1, 1.0, 10.0]
     for Pr in pr_values:
         for beta in (0.0, 0.5, 1.0):
+            key = dict(Pr=Pr, beta=beta, nx=nx, backend=backend, solver=args.solver)
+            if csv_has_row(args.out, key):
+                print(f"skip (cached): {key}")
+                continue
             cfg = NSConfig(
                 nx=nx, ny=ny, Pr=Pr, beta=beta, ttot=args.ttot, tol=args.tol,
                 niters=50, mg_solver=args.solver,

@@ -30,7 +30,7 @@ def main():
 
     from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
     from fpr_tpu.models import diffusion3d
-    from fpr_tpu.utils.io import append_csv_row
+    from fpr_tpu.utils.io import append_csv_row, csv_has_row
 
     backend = jax.default_backend()
     for e in np.arange(4.0, args.max_e + 0.25, 0.5):
@@ -40,9 +40,9 @@ def main():
                 nx=n, ny=n, nz=n, ttot=args.ttot, tol=args.tol, policy=policy
             )
             key = dict(n=n, policy=policy.value, backend=backend)
-            # resume-by-skip: don't recompute existing rows
-            probe_row = {**key, "iters": "", "seconds": "", "throughput_gbs": "",
-                         "performance_gflops": "", "intensity": ""}
+            if csv_has_row(args.out, key):
+                print(f"skip (cached): {key}")
+                continue
             try:
                 out = diffusion3d.solve(cfg, dtype=jnp.float32)
             except Exception as exc:  # keep sweeping (multigrid_bench.jl:41-62)

@@ -80,6 +80,20 @@ def append_csv_row(path, row: dict, key_fields=()) -> bool:
             fcntl.flock(f, fcntl.LOCK_UN)
 
 
+def csv_has_row(path, key: dict) -> bool:
+    """True if a row matching all key fields already exists (check BEFORE
+    running an expensive config — the resume-by-skip of
+    run_all_benchmarks.sh:18-20)."""
+    path = Path(path)
+    if not path.exists():
+        return False
+    with open(path) as f:
+        for r in csv.DictReader(f):
+            if all(r.get(k, "") == str(v) for k, v in key.items()):
+                return True
+    return False
+
+
 def csv_has_rows(path) -> bool:
     path = Path(path)
     if not path.exists():
