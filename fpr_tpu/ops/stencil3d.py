@@ -91,6 +91,41 @@ def dual_time_step_zext(
     return new, sumsq
 
 
+def dual_time_step_ext3(
+    Ht, H_ext, dt, dtau, dx, dy, dz, D,
+    zlo, zhi, ylo, yhi, xlo, xhi, with_norm=True,
+):
+    """Pseudo-time iteration on a fully ghost-padded local block
+    (nz_l+2, ny_l+2, nx_l+2) — the uniform code path for arbitrary 3D
+    Cartesian mesh decompositions (ghosts come from ppermute on sharded
+    dims and stay zero on global edges; see parallel.halo).
+
+    (zlo..xhi): inclusive local index ranges of updateable cells per dim.
+    Returns (H_ext', sumsq).
+    """
+    nzl, nyl, nxl = Ht.shape
+    C = H_ext[1:-1, 1:-1, 1:-1]
+    lap = (
+        (H_ext[1:-1, 1:-1, 2:] - 2.0 * C + H_ext[1:-1, 1:-1, :-2]) / (dx * dx)
+        + (H_ext[1:-1, 2:, 1:-1] - 2.0 * C + H_ext[1:-1, :-2, 1:-1]) / (dy * dy)
+        + (H_ext[2:, 1:-1, 1:-1] - 2.0 * C + H_ext[:-2, 1:-1, 1:-1]) / (dz * dz)
+    )
+    dHdtau = (C - Ht) / dt - D * lap
+
+    gz = jax.lax.broadcasted_iota(jnp.int32, Ht.shape, 0)
+    gy = jax.lax.broadcasted_iota(jnp.int32, Ht.shape, 1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, Ht.shape, 2)
+    interior = (
+        (gz >= zlo) & (gz <= zhi)
+        & (gy >= ylo) & (gy <= yhi)
+        & (gx >= xlo) & (gx <= xhi)
+    )
+    dHdtau = jnp.where(interior, dHdtau, 0.0)
+    new = H_ext.at[1:-1, 1:-1, 1:-1].set(C - dtau * dHdtau)
+    sumsq = jnp.sum(dHdtau * dHdtau) if with_norm else None
+    return new, sumsq
+
+
 def init_gaussian(grid, dtype=jnp.float32, x0=None, y0=None, z0=None):
     """H = 2 exp(-((x-cx)^2 + (y-cy)^2 + (z-cz)^2)) at cell centers
     (part1_utils.jl:1-12), center = domain center by default.

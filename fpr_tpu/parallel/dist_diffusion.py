@@ -3,27 +3,25 @@
 The TPU-native rebuild of the reference's multi-XPU path
 (diffusion_3D_kernel_programming, part1_kernel_programming.jl:99-228):
 
-- 1D z-decomposition of the global grid over a mesh axis (the reference
-  uses a 3D MPI rank grid; on a TPU slice the z-slab decomposition keeps
-  full (y, x) planes on the lanes and rides ICI for the two face planes);
-- ``update_halo!`` -> ``lax.ppermute`` of face planes (parallel.halo);
-- ``MPI.Allreduce`` of the convergence norm -> ``lax.psum``
-  (part1_utils.jl:36-40);
-- per-rank local grids of cfg.nz planes each, with optional physical-size
-  scaling for weak-scaling runs (part1_kernel_programming.jl:106-114);
+- Cartesian decomposition of the global grid over a 1D/2D/3D device mesh
+  (axis names 'z'/'y'/'x' map to array dims 0/1/2), mirroring the
+  reference's 3D MPI rank grid (init_global_grid);
+- ``update_halo!`` -> ``lax.ppermute`` of face planes per sharded dim over
+  ICI (parallel.halo); ``MPI.Allreduce`` -> ``lax.psum``;
+- per-rank local grids of (cfg.nz, cfg.ny, cfg.nx), with optional
+  physical-size scaling for weak-scaling runs (part1_kernel_programming.jl:106-114);
 - the whole inner pseudo-time loop (stencil + halo exchange + global norm)
   runs on-device inside shard_map; the host syncs once per physical step.
 
-The local stencil is the fused Pallas kernel (ExecutionPolicy.PALLAS, TPU)
-or the jnp tier (CPU / virtual-device testing).  The z-ghost-padded local
-state is exactly the Pallas kernel's native layout, so halo exchange writes
-straight into the kernel's ghost planes.
+Operator tiers: ExecutionPolicy.PALLAS uses the fused kernel (z-axis
+decomposition only — its state layout ghost-pads z; full (y, x) planes stay
+on the lanes); ExecutionPolicy.JNP supports any mesh shape via the fully
+ghost-padded ext3 step.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 
 import jax
@@ -38,10 +36,12 @@ from fpr_tpu.ops import stencil3d
 from fpr_tpu.parallel import halo
 from fpr_tpu.utils.timing import BenchResults, diffusion_bench_results
 
+AXIS_DIM = {"z": 0, "y": 1, "x": 2}
+
 
 @dataclasses.dataclass
 class DistDiffusionResult:
-    H: np.ndarray            # gathered global field (nz_g, ny, nx)
+    H: np.ndarray            # gathered global field (nz_g, ny_g, nx_g)
     iters_total: int
     timed_iters: int
     bench: BenchResults
@@ -49,37 +49,62 @@ class DistDiffusionResult:
     n_devices: int
 
 
-def _global_grid(cfg: DiffusionConfig, n_shards: int) -> Grid3D:
-    lz = cfg.lz * n_shards if cfg.scale_physical_size else cfg.lz
-    return Grid3D(cfg.nx, cfg.ny, cfg.nz * n_shards, cfg.lx, cfg.ly, lz)
+def _mesh_extent(mesh: Mesh, axis: str) -> int:
+    return mesh.shape[axis] if axis in mesh.axis_names else 1
+
+def _global_grid(cfg: DiffusionConfig, mesh: Mesh) -> Grid3D:
+    ez, ey, ex = (_mesh_extent(mesh, a) for a in ("z", "y", "x"))
+    s = cfg.scale_physical_size
+    return Grid3D(
+        cfg.nx * ex, cfg.ny * ey, cfg.nz * ez,
+        cfg.lx * (ex if s else 1), cfg.ly * (ey if s else 1), cfg.lz * (ez if s else 1),
+    )
+
+
+def _partition_spec(mesh: Mesh) -> P:
+    return P(*(a if a in mesh.axis_names else None for a in ("z", "y", "x")))
 
 
 def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
-    """Build the jitted distributed physical step.
+    """Build the jitted distributed physical step over `mesh`.
 
-    Takes/returns globally-sharded (nz_g, ny, nx) arrays; internally each
-    shard pads once, then iterates (halo exchange -> fused stencil ->
-    psum norm) in an on-device while_loop.
+    Takes/returns globally-sharded (nz_g, ny_g, nx_g) arrays; internally each
+    shard ghost-pads once, then iterates (halo exchange -> stencil -> psum
+    norm) in an on-device while_loop.
     """
-    n_shards = mesh.shape[axis]
-    grid = _global_grid(cfg, n_shards)
+    del axis  # decomposition is read off the mesh axis names
+    grid = _global_grid(cfg, mesh)
     dtau = pseudo_timestep(grid.dx, grid.dy, grid.dz, cfg.D)
-    total_n = grid.n
-    sqrt_n = float(np.sqrt(total_n))
+    sqrt_n = float(np.sqrt(grid.n))
     kw = dict(dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D)
     use_pallas = cfg.policy == ExecutionPolicy.PALLAS
-
+    axes = set(mesh.axis_names)
+    if use_pallas and not axes <= {"z"}:
+        raise ValueError(
+            "the fused Pallas tier decomposes over z only; use "
+            "ExecutionPolicy.JNP for 2D/3D meshes"
+        )
+    all_axes = tuple(mesh.axis_names)
     local_shape = (cfg.nz, cfg.ny, cfg.nx)
+    sharded = {AXIS_DIM[a]: a for a in mesh.axis_names}
 
     def shard_body(Ht_l, Htau_l):
-        zlo, zhi = halo.z_mask_bounds(axis, cfg.nz)
+        bounds = [
+            halo.mask_bounds(
+                {0: "z", 1: "y", 2: "x"}[d] if d in sharded else None,
+                local_shape[d],
+            )
+            for d in range(3)
+        ]
+        (zlo, zhi), (ylo, yhi), (xlo, xhi) = bounds
+
         if use_pallas:
             from fpr_tpu.ops import pallas3d
 
             Hp = pallas3d.pad3d(Htau_l)
             Ht_in = pallas3d.pad_ht(Ht_l)
         else:
-            Hp = jnp.pad(Htau_l, ((1, 1), (0, 0), (0, 0)))
+            Hp = jnp.pad(Htau_l, 1)
             Ht_in = Ht_l
 
         def cond(carry):
@@ -88,18 +113,23 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
 
         def body(carry):
             Hp, _, it = carry
-            Hp = halo.set_ghost_planes_z(Hp, axis)
             if use_pallas:
                 from fpr_tpu.ops import pallas3d
 
+                if "z" in axes:
+                    Hp = halo.set_ghost_planes_z(Hp, "z")
                 Hp, sumsq = pallas3d.dual_time_step_padded(
                     Ht_in, Hp, local_shape, z_bounds=(zlo, zhi), **kw
                 )
             else:
-                Hp, sumsq = stencil3d.dual_time_step_zext(
-                    Ht_in, Hp, zlo=zlo, zhi=zhi, **kw
+                Hp = halo.refresh_ghosts_ext(Hp, sharded)
+                Hp, sumsq = stencil3d.dual_time_step_ext3(
+                    Ht_in, Hp, zlo=zlo, zhi=zhi, ylo=ylo, yhi=yhi,
+                    xlo=xlo, xhi=xhi, **kw
                 )
-            err = jnp.sqrt(jax.lax.psum(sumsq, axis)) * cfg.dt / sqrt_n
+            if all_axes:
+                sumsq = jax.lax.psum(sumsq, all_axes)
+            err = jnp.sqrt(sumsq) * cfg.dt / sqrt_n
             return Hp, err.astype(Hp.dtype), it + 1
 
         Hp, err, iters = jax.lax.while_loop(
@@ -112,27 +142,18 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
 
             Ht_new = pallas3d.unpad3d(Hp, local_shape)
         else:
-            Ht_new = Hp[1:-1, :, :]
+            Ht_new = Hp[1:-1, 1:-1, 1:-1]
         return Ht_new, Ht_new, err, iters
 
-    spec = P(axis, None, None)
+    spec = _partition_spec(mesh)
+    kwargs = dict(
+        mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec, P(), P())
+    )
     try:
         # pallas_call outputs don't carry vma metadata yet; disable the check
-        step = shard_map(
-            shard_body,
-            mesh=mesh,
-            in_specs=(spec, spec),
-            out_specs=(spec, spec, P(), P()),
-            check_vma=False,
-        )
+        step = shard_map(shard_body, check_vma=False, **kwargs)
     except TypeError:  # older jax: the flag was called check_rep
-        step = shard_map(
-            shard_body,
-            mesh=mesh,
-            in_specs=(spec, spec),
-            out_specs=(spec, spec, P(), P()),
-            check_rep=False,
-        )
+        step = shard_map(shard_body, check_rep=False, **kwargs)
     return jax.jit(step), grid
 
 
@@ -147,16 +168,17 @@ def solve_distributed(
     (part1_kernel_programming.jl:166-204), one host sync per physical step."""
     from fpr_tpu.parallel.mesh import make_mesh
 
+    del axis
     mesh = make_mesh() if mesh is None else mesh
-    n_shards = mesh.shape[axis]
-    step, grid = build_step(cfg, mesh, axis)
+    n_shards = int(np.prod(list(mesh.shape.values())))
+    step, grid = build_step(cfg, mesh)
     nt = outer_steps(cfg.ttot, cfg.dt)
 
     from fpr_tpu.core import bc
 
     Ht_host = stencil3d.init_gaussian(grid, dtype=dtype)
     Ht_host = bc.dirichlet_faces_3d(Ht_host)
-    sharding = NamedSharding(mesh, P(axis, None, None))
+    sharding = NamedSharding(mesh, _partition_spec(mesh))
     Ht = jax.device_put(Ht_host, sharding)
     Htau = Ht
 

@@ -15,6 +15,57 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def exchange_faces(local: jnp.ndarray, axis_name: str, dim: int):
+    """Exchange one-cell faces of a local block along array dimension `dim`
+    decomposed over mesh axis `axis_name`.
+
+    Returns (ghost_lo, ghost_hi): neighbor faces for local index -1 and n
+    (zeros at the global edges).
+    """
+    n = lax.axis_size(axis_name)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    lo_face = jax.lax.slice_in_dim(local, local.shape[dim] - 1, local.shape[dim], axis=dim)
+    hi_face = jax.lax.slice_in_dim(local, 0, 1, axis=dim)
+    ghost_lo = lax.ppermute(lo_face, axis_name, fwd)
+    ghost_hi = lax.ppermute(hi_face, axis_name, bwd)
+    return ghost_lo, ghost_hi
+
+
+def refresh_ghosts_ext(ext: jnp.ndarray, sharded: dict[int, str]):
+    """Refresh the ghost shells of a fully ghost-padded (n+2 per dim) local
+    block: ppermute for the sharded dims (dim index -> mesh axis name);
+    unsharded dims keep their zero ghosts (global Dirichlet outside)."""
+    inner = ext[1:-1, 1:-1, 1:-1]
+    for dim, axis_name in sharded.items():
+        lo, hi = exchange_faces(inner, axis_name, dim)
+        pad = [(1, 1)] * 3
+        pad[dim] = (0, 0)
+        lo = jnp.pad(lo, pad)
+        hi = jnp.pad(hi, pad)
+        idx_lo = [slice(None)] * 3
+        idx_lo[dim] = slice(0, 1)
+        idx_hi = [slice(None)] * 3
+        idx_hi[dim] = slice(ext.shape[dim] - 1, ext.shape[dim])
+        ext = ext.at[tuple(idx_lo)].set(lo)
+        ext = ext.at[tuple(idx_hi)].set(hi)
+    return ext
+
+
+def mask_bounds(axis_name: str | None, n_local: int):
+    """(lo, hi): local index range (inclusive) of updateable cells along one
+    dimension — interior shards update everything; the global-edge shards
+    exclude the physical boundary layer.  axis_name=None means unsharded
+    (both edges are global)."""
+    if axis_name is None:
+        return jnp.asarray(1), jnp.asarray(n_local - 2)
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    lo = jnp.where(idx == 0, 1, 0)
+    hi = jnp.where(idx == n - 1, n_local - 2, n_local - 1)
+    return lo, hi
+
+
 def exchange_faces_z(local: jnp.ndarray, axis_name: str):
     """Exchange one-plane z-faces of a local (nz_l, ny, nx) block.
 

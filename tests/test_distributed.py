@@ -46,23 +46,34 @@ def test_halo_exchange_roundtrip(rng):
         np.testing.assert_array_equal(above[k], an[4 * (k + 1)])
 
 
-@pytest.mark.parametrize("n_shards", [2, 8])
-def test_distributed_matches_single_device(n_shards):
-    # strong-scaling setup: same global grid, sharded vs single device
-    nz_g = 32
+@pytest.mark.parametrize(
+    "mesh_shape,axes",
+    [
+        ((2,), ("z",)),
+        ((8,), ("z",)),
+        ((2, 4), ("z", "y")),
+        ((2, 2, 2), ("z", "y", "x")),
+    ],
+)
+def test_distributed_matches_single_device(mesh_shape, axes):
+    # strong-scaling setup: same 32^3 global grid, sharded vs single device,
+    # over 1D/2D/3D Cartesian decompositions (the reference's 3D rank grid)
     cfg_single = DiffusionConfig(
-        nx=32, ny=32, nz=nz_g, ttot=0.4, tol=1e-7, policy=ExecutionPolicy.JNP
+        nx=32, ny=32, nz=32, ttot=0.4, tol=1e-7, policy=ExecutionPolicy.JNP
     )
     single = diffusion3d.solve(cfg_single, dtype=jnp.float64)
 
-    mesh = make_mesh((n_shards,), ("z",))
+    mesh = make_mesh(mesh_shape, axes)
+    ext = {a: s for a, s in zip(axes, mesh_shape)}
     cfg_dist = DiffusionConfig(
-        nx=32, ny=32, nz=nz_g // n_shards, ttot=0.4, tol=1e-7,
-        policy=ExecutionPolicy.JNP,
+        nx=32 // ext.get("x", 1),
+        ny=32 // ext.get("y", 1),
+        nz=32 // ext.get("z", 1),
+        ttot=0.4, tol=1e-7, policy=ExecutionPolicy.JNP,
     )
     dist = dist_diffusion.solve_distributed(cfg_dist, mesh, dtype=jnp.float64)
 
-    assert dist.n_devices == n_shards
+    assert dist.n_devices == int(np.prod(mesh_shape))
     assert dist.iters_total == single.iters_total
     np.testing.assert_allclose(dist.H, single.H, atol=1e-13)
 
@@ -76,7 +87,7 @@ def test_distributed_weak_scaling_physical_size():
         scale_physical_size=True, policy=ExecutionPolicy.JNP,
     )
     out = dist_diffusion.solve_distributed(cfg, mesh, dtype=jnp.float64)
-    g = dist_diffusion._global_grid(cfg, 4)
+    g = dist_diffusion._global_grid(cfg, mesh)
     assert g.lz == pytest.approx(4 * 10.0)
     # dz is invariant vs the single-shard run (10/8), so per-shard work is too
     assert g.dz == pytest.approx(10.0 / 8)
