@@ -59,8 +59,14 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
     dtau = pseudo_timestep(grid.dx, grid.dy, grid.dz, cfg.D)
     kw = dict(dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D)
     pallas = cfg.policy == ExecutionPolicy.PALLAS
+    fused2 = pallas and cfg.check_every == 2
     shape = (cfg.nz, cfg.ny, cfg.nx)
-    if pallas:
+    if fused2:
+        from fpr_tpu.ops import pallas3d
+
+        def step(Ht_pad, Hp):
+            return pallas3d.dual_time_step2_padded(Ht_pad, Hp, shape, **kw)
+    elif pallas:
         from fpr_tpu.ops import pallas3d
 
         def step(Ht_pad, Hp):
@@ -69,6 +75,7 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
         step = functools.partial(stencil3d.dual_time_step, **kw)
 
     sqrt_n = float(np.sqrt(total_n))
+    iters_per_call = 2 if fused2 else 1
 
     def physical_step(Ht, Htau):
         # Htau is ghost/tile-padded under the Pallas policy (the fused
@@ -76,7 +83,7 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
         if pallas:
             from fpr_tpu.ops import pallas3d
 
-            Ht_in = pallas3d.pad_ht(Ht)  # once per physical step
+            Ht_in = pallas3d.pad_ht2(Ht) if fused2 else pallas3d.pad_ht(Ht)
         else:
             Ht_in = Ht
 
@@ -88,7 +95,7 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
             Htau, _, it = carry
             Htau, sumsq = step(Ht_in, Htau)
             err = jnp.sqrt(sumsq) * cfg.dt / sqrt_n
-            return Htau, err.astype(Htau.dtype), it + 1
+            return Htau, err.astype(Htau.dtype), it + iters_per_call
 
         Htau, err, iters = jax.lax.while_loop(
             cond,
@@ -98,12 +105,15 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
         if pallas:
             from fpr_tpu.ops import pallas3d
 
-            Ht_new = pallas3d.unpad3d(Htau, shape)
+            Ht_new = (
+                pallas3d.unpad3d2(Htau, shape) if fused2
+                else pallas3d.unpad3d(Htau, shape)
+            )
         else:
             Ht_new = Htau
         return Ht_new, Htau, err, iters  # Ht' = Htau (commit, ref :203)
 
-    return jax.jit(physical_step), pallas
+    return jax.jit(physical_step), (pallas, fused2)
 
 
 def solve(
@@ -120,11 +130,11 @@ def solve(
     Ht = stencil3d.init_gaussian(grid, dtype=dtype)
     Ht = bc.dirichlet_faces_3d(Ht)
 
-    step, pallas = _step_fn(cfg, grid, total_n)
+    step, (pallas, fused2) = _step_fn(cfg, grid, total_n)
     if pallas:
         from fpr_tpu.ops import pallas3d
 
-        Htau = pallas3d.pad3d(Ht)
+        Htau = pallas3d.pad3d2(Ht) if fused2 else pallas3d.pad3d(Ht)
     else:
         Htau = Ht
 

@@ -107,6 +107,28 @@ def unpad3d(Hp, shape=None):
     return Hp[1 : 1 + nz, :ny, :nx]
 
 
+def pad3d2(H):
+    """Physical -> 2-deep-z-ghost/tile-padded (nz+4, ny8, nx128) for the
+    temporally-fused two-iteration kernel."""
+    nz, ny, nx = H.shape
+    ny8, nx128 = _pad_yx(ny, nx)
+    return jnp.pad(H, ((2, 2), (0, ny8 - ny), (0, nx128 - nx)))
+
+
+def pad_ht2(H):
+    """Physical Ht -> 1-deep-z-ghost/tile-padded (nz+2, ny8, nx128): the
+    fused kernel's first sweep updates one plane beyond each block, so it
+    reads Ht there too (ghost planes only feed masked cells)."""
+    nz, ny, nx = H.shape
+    ny8, nx128 = _pad_yx(ny, nx)
+    return jnp.pad(H, ((1, 1), (0, ny8 - ny), (0, nx128 - nx)))
+
+
+def unpad3d2(Hp, shape):
+    nz, ny, nx = shape
+    return Hp[2 : 2 + nz, :ny, :nx]
+
+
 def _shift_y(a, d):
     """Static sublane shift with edge duplication (dup rows are masked)."""
     if d == -1:
@@ -219,6 +241,207 @@ def _dual_time_kernel(
             copy_out(i - 1, nslot).wait()
 
         copy_out(i, slot).wait()
+
+
+def _dual_time2_kernel(
+    zbounds_ref, ht_hbm, htau_hbm, out_hbm, acc_ref,
+    slabs, htbufs, results, sem_in, sem_ht, sem_out,
+    *, BZ, nz, ny, nx, nyp, nxp, dt, dtau, D, dx, dy, dz,
+):
+    """Temporally fused: TWO pseudo-time iterations per HBM pass.
+
+    The state carries a 2-deep z halo; sweep 1 updates the block plus one
+    plane on each side (entirely in VMEM), sweep 2 updates the block from
+    sweep 1's result.  Per-iteration traffic drops to ~(1.5 + 3/BZ)
+    words/cell (slab (BZ+4) + Ht (BZ+2) + out BZ, amortized over two
+    iterations).  The convergence norm is the SECOND iteration's — the
+    driver checks every two iterations (DiffusionConfig.check_every=2).
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    nslot = 1 - slot
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def copy_in(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            htau_hbm.at[pl.ds(block * BZ, BZ + 4), :, :], slabs.at[s], sem_in.at[s]
+        )
+
+    def copy_ht(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            ht_hbm.at[pl.ds(block * BZ, BZ + 2), :, :], htbufs.at[s], sem_ht.at[s]
+        )
+
+    def copy_out(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            results.at[s], out_hbm.at[pl.ds(block * BZ + 2, BZ), :, :], sem_out.at[s]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy_in(0, 0).start()
+        copy_ht(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy_in(i + 1, nslot).start()
+        copy_ht(i + 1, nslot).start()
+
+    copy_in(i, slot).wait()
+    copy_ht(i, slot).wait()
+
+    @pl.when(i >= 2)
+    def _():
+        copy_out(i - 2, slot).wait()
+
+    slab = slabs.at[slot]
+    ht = htbufs[slot, :, :, :]  # physical planes [z0-1, z0+BZ+1)
+    dtype = ht.dtype
+    _dx2 = jnp.asarray(1.0 / (dx * dx), dtype)
+    _dy2 = jnp.asarray(1.0 / (dy * dy), dtype)
+    _dz2 = jnp.asarray(1.0 / (dz * dz), dtype)
+    _dt = jnp.asarray(1.0 / dt, dtype)
+    D_ = jnp.asarray(D, dtype)
+    dtau_ = jnp.asarray(dtau, dtype)
+    z0 = i * BZ
+
+    def sweep(center, zm, zp, ht_c, gz0, depth):
+        ym = _shift_y(center, -1)
+        yp = _shift_y(center, +1)
+        xm = _shift_x(center, -1)
+        xp = _shift_x(center, +1)
+        lap = (
+            (xp - 2.0 * center + xm) * _dx2
+            + (yp - 2.0 * center + ym) * _dy2
+            + (zp - 2.0 * center + zm) * _dz2
+        )
+        dH = (center - ht_c) * _dt - D_ * lap
+        gz = gz0 + jax.lax.broadcasted_iota(jnp.int32, center.shape, 0)
+        gy = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+        gx = jax.lax.broadcasted_iota(jnp.int32, center.shape, 2)
+        interior = (
+            (gz >= zbounds_ref[0]) & (gz <= zbounds_ref[1])
+            & (gy > 0) & (gy < ny - 1)
+            & (gx > 0) & (gx < nx - 1)
+        )
+        dH = jnp.where(interior, dH, jnp.asarray(0.0, dtype))
+        return center - dtau_ * dH, dH
+
+    # sweep 1 on the block +- one plane: slab rows [1, BZ+3) are physical
+    # planes [z0-1, z0+BZ+1); their z neighbors are slab rows 0..BZ+3
+    u0_ext = slab[1 : BZ + 3, :, :]
+    u1_ext, _ = sweep(
+        u0_ext, slab[0 : BZ + 2, :, :], slab[2 : BZ + 4, :, :], ht, z0 - 1, depth=0
+    )
+
+    # sweep 2 on the block from sweep 1's result
+    u2, dH2 = sweep(
+        u1_ext[1 : BZ + 1, :, :],
+        u1_ext[0:BZ, :, :],
+        u1_ext[2 : BZ + 2, :, :],
+        ht[1 : BZ + 1, :, :],
+        z0,
+        depth=1,
+    )
+    results[slot, :, :, :] = u2
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = jnp.asarray(0.0, dtype)
+
+    acc_ref[0, 0] += jnp.sum(dH2 * dH2)
+
+    copy_out(i, slot).start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            copy_out(i - 1, nslot).wait()
+
+        copy_out(i, slot).wait()
+
+
+@functools.lru_cache(maxsize=64)
+def _build_call2(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
+    nz, ny, nx = shape
+    nyp, nxp = _pad_yx(ny, nx)
+    dtype = jnp.dtype(dtype_name)
+    grid = (nz // BZ,)
+
+    kernel = functools.partial(
+        _dual_time2_kernel,
+        BZ=BZ, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp,
+        dt=dt, dtau=dtau, D=D, dx=dx, dy=dy, dz=dz,
+    )
+    word = dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 4, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((nz + 4, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz + 4, nyp, nxp), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BZ + 4, nyp, nxp), dtype),
+            pltpu.VMEM((2, BZ + 2, nyp, nxp), dtype),
+            pltpu.VMEM((2, BZ, nyp, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 27 * nz * ny * nx,
+            bytes_accessed=4 * word * nz * ny * nx,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+def dual_time_step2_padded(
+    Ht_padded2, Htau_padded2, shape, dt, dtau, dx, dy, dz, D,
+    block_z=None, z_bounds=None,
+):
+    """TWO fused pseudo-time iterations on 2-deep-ghost-padded state.
+
+    Ht_padded2 is ``pad_ht2``-shaped (nz+2, ny8, nx128); Htau_padded2 is
+    ``pad3d2``-shaped (nz+4, ny8, nx128).  Returns (Htau_padded2', sumsq of
+    the SECOND iteration's dHdtau).
+    """
+    nz, ny, nx = shape
+    BZ = block_z or _pick_bz(nz, *_pad_yx(ny, nx), jnp.dtype(Ht_padded2.dtype).itemsize)
+    call = _build_call2(
+        tuple(shape), jnp.dtype(Ht_padded2.dtype).name, BZ,
+        float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
+        not _on_tpu(),
+    )
+    if z_bounds is None:
+        zb = jnp.asarray([1, nz - 2], jnp.int32)
+    else:
+        zb = jnp.stack(
+            [jnp.asarray(z_bounds[0], jnp.int32), jnp.asarray(z_bounds[1], jnp.int32)]
+        )
+    out, acc = call(zb, Ht_padded2, Htau_padded2)
+    return out, acc[0, 0]
 
 
 @functools.lru_cache(maxsize=64)

@@ -212,7 +212,9 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     """
     from fpr_tpu.ops import pallas2d, transfer
 
-    if ny * nx < PALLAS_MIN_AREA:
+    # the fused kernels implement the damped-Jacobi smoother; other
+    # smoothers take the jnp tier at every level
+    if cfg.smoother is not Smoother.JACOBI or ny * nx < PALLAS_MIN_AREA:
         u = pallas2d.unpad2d(u_rp, ny, nx)
         f = pallas2d.unpad2d(f_rp, ny, nx)
         u, r_rms = vcycle(u, f, h, c, tol, cfg, apply_bcs=apply_bcs)

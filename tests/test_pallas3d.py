@@ -48,6 +48,43 @@ def test_iterated_padded_state_matches_jnp(rng):
     )
 
 
+def test_fused2_matches_two_steps(rng):
+    # the temporally fused kernel == two sequential iterations; the norm is
+    # the second iteration's
+    for shape in [(8, 8, 16), (12, 20, 24)]:
+        Ht = jnp.asarray(rng.random(shape))
+        Htau = jnp.asarray(rng.random(shape))
+        args = dict(dt=0.2, dtau=1e-3, dx=0.1, dy=0.11, dz=0.12, D=1.0)
+        r1, _ = stencil3d.dual_time_step(Ht, Htau, **args)
+        r2, s2 = stencil3d.dual_time_step(Ht, r1, **args)
+        got_p, sg = pallas3d.dual_time_step2_padded(
+            pallas3d.pad_ht2(Ht), pallas3d.pad3d2(Htau), shape, **args
+        )
+        got = pallas3d.unpad3d2(got_p, shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(r2), atol=1e-14)
+        assert abs(float(sg) - float(s2)) / float(s2) < 1e-12
+
+
+def test_solver_fused2_policy(rng):
+    # end-to-end solve with check_every=2 (fused kernel) == plain JNP solve;
+    # iteration counts may differ by at most 1 (checks land every 2 iters)
+    from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
+    from fpr_tpu.models import diffusion3d
+
+    base = dict(nx=16, ny=16, nz=16, ttot=0.4, tol=1e-7)
+    o_j = diffusion3d.solve(
+        DiffusionConfig(policy=ExecutionPolicy.JNP, **base), dtype=jnp.float64
+    )
+    o_2 = diffusion3d.solve(
+        DiffusionConfig(policy=ExecutionPolicy.PALLAS, check_every=2, **base),
+        dtype=jnp.float64,
+    )
+    assert abs(o_2.iters_total - o_j.iters_total) <= o_j.iters_total // 10 + 4
+    # per-step overshoot by <=1 iteration shifts the field at the tol scale;
+    # 1e-5 is the reference's own cross-variant golden bar (test/part1.jl)
+    np.testing.assert_allclose(o_2.H, o_j.H, atol=1e-5)
+
+
 def test_solver_with_pallas_policy(rng):
     # end-to-end solve with the PALLAS policy (interpret mode) == JNP policy
     from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
