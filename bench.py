@@ -41,23 +41,24 @@ def bench_diffusion(n: int, iters_cap: int):
 
     @jax.jit
     def iterate(Htp, Hp, k):
+        # temporally fused kernel: each call is TWO pseudo-time iterations
         def body(i, carry):
             Hp, acc = carry
-            Hp, sumsq = pallas3d.dual_time_step_padded(Htp, Hp, shape, **kw)
+            Hp, sumsq = pallas3d.dual_time_step2_padded(Htp, Hp, shape, **kw)
             return Hp, acc + sumsq
         Hp, acc = jax.lax.fori_loop(0, k, body, (Hp, jnp.float32(0)))
         return Hp, acc
 
-    Hp = pallas3d.pad3d(Ht)
-    Ht = pallas3d.pad_ht(Ht)
-    Hp, acc = iterate(Ht, Hp, 10)  # warmup + compile
+    Hp = pallas3d.pad3d2(Ht)
+    Ht = pallas3d.pad_ht2(Ht)
+    Hp, acc = iterate(Ht, Hp, 5)  # warmup + compile
     float(acc)
     t0 = time.time()
-    Hp, acc = iterate(Ht, Hp, iters_cap)
+    Hp, acc = iterate(Ht, Hp, iters_cap // 2)
     float(acc)
     dt_s = time.time() - t0
     res = diffusion_bench_results(
-        dt_s, iters_cap, n, n, n, word_bytes=4, model="shmem"
+        dt_s, 2 * (iters_cap // 2), n, n, n, word_bytes=4, model="shmem"
     )
     return res
 
