@@ -173,3 +173,7 @@ class DiffusionConfig:
     # inner iterations fused between convergence checks; 1 reproduces the
     # reference's check-every-iteration behavior exactly
     check_every: int = 1
+    # distributed only: compute the shard interior while the halo exchange
+    # is in flight (the reference's @hide_communication,
+    # part1_kernel_programming.jl:185-188); jnp tier, z decomposition
+    overlap_comm: bool = False

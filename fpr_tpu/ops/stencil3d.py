@@ -126,6 +126,66 @@ def dual_time_step_ext3(
     return new, sumsq
 
 
+def dual_time_step_overlap_z(
+    Ht, H_local, ghost_lo, ghost_hi, dt, dtau, dx, dy, dz, D,
+    zlo, zhi, with_norm=True,
+):
+    """Pseudo-time iteration with communication overlap (the reference's
+    @hide_communication, part1_kernel_programming.jl:185-188).
+
+    H_local is the unpadded local block; ghost_lo/ghost_hi are the neighbor
+    z-faces from an in-flight ppermute.  The interior planes (local z in
+    [1, nz_l-1)) are computed WITHOUT any ghost dependency, so XLA's
+    latency-hiding scheduler can run the collective concurrently; only the
+    two shard-edge planes consume the ghosts.  Numerically identical to the
+    ghost-padded step (tests/test_distributed.py).
+    """
+    nzl, nyl, nxl = Ht.shape
+
+    def lat_lap(block):
+        """y/x Laplacian terms for a z-slice range (edge dups are masked)."""
+        ym = jnp.concatenate([block[:, :1, :], block[:, :-1, :]], axis=1)
+        yp = jnp.concatenate([block[:, 1:, :], block[:, -1:, :]], axis=1)
+        xm = jnp.concatenate([block[:, :, :1], block[:, :, :-1]], axis=2)
+        xp = jnp.concatenate([block[:, :, 1:], block[:, :, -1:]], axis=2)
+        return (xp - 2.0 * block + xm) / (dx * dx) + (yp - 2.0 * block + ym) / (dy * dy)
+
+    def finish(rows, zm, zp, ht_rows, z_start, n_rows):
+        lap = lat_lap(rows) + (zp - 2.0 * rows + zm) / (dz * dz)
+        dH = (rows - ht_rows) / dt - D * lap
+        gz = z_start + jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0)
+        gy = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+        gx = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 2)
+        m = (
+            (gz >= zlo) & (gz <= zhi)
+            & (gy > 0) & (gy < nyl - 1)
+            & (gx > 0) & (gx < nxl - 1)
+        )
+        dH = jnp.where(m, dH, 0.0)
+        return rows - dtau * dH, dH
+
+    # interior planes: ghosts not needed
+    mid, dH_mid = finish(
+        H_local[1:-1], H_local[:-2], H_local[2:], Ht[1:-1], 1, nzl - 2
+    )
+    # edge planes: consume the (by now arrived) ghosts
+    first, dH_first = finish(
+        H_local[:1], ghost_lo, H_local[1:2], Ht[:1], 0, 1
+    )
+    last, dH_last = finish(
+        H_local[-1:], H_local[-2:-1], ghost_hi, Ht[-1:], nzl - 1, 1
+    )
+    new = jnp.concatenate([first, mid, last], axis=0)
+    sumsq = (
+        jnp.sum(dH_mid * dH_mid)
+        + jnp.sum(dH_first * dH_first)
+        + jnp.sum(dH_last * dH_last)
+        if with_norm
+        else None
+    )
+    return new, sumsq
+
+
 def init_gaussian(grid, dtype=jnp.float32, x0=None, y0=None, z0=None):
     """H = 2 exp(-((x-cx)^2 + (y-cy)^2 + (z-cz)^2)) at cell centers
     (part1_utils.jl:1-12), center = domain center by default.

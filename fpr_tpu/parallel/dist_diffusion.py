@@ -88,6 +88,8 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
     local_shape = (cfg.nz, cfg.ny, cfg.nx)
     sharded = {AXIS_DIM[a]: a for a in mesh.axis_names}
 
+    overlap = cfg.overlap_comm and not use_pallas and set(sharded) <= {0}
+
     def shard_body(Ht_l, Htau_l):
         bounds = [
             halo.mask_bounds(
@@ -97,6 +99,36 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
             for d in range(3)
         ]
         (zlo, zhi), (ylo, yhi), (xlo, xhi) = bounds
+
+        if overlap:
+            # @hide_communication analog: the per-iteration state stays
+            # unpadded; each iteration starts the ppermute and computes the
+            # shard interior while the faces travel
+            def cond_o(carry):
+                _, err, it = carry
+                return jnp.logical_and(err > cfg.tol, it < cfg.iter_max)
+
+            def body_o(carry):
+                Hl, _, it = carry
+                if 0 in sharded:
+                    ghost_lo, ghost_hi = halo.exchange_faces(Hl, sharded[0], 0)
+                else:
+                    ghost_lo = jnp.zeros_like(Hl[:1])
+                    ghost_hi = jnp.zeros_like(Hl[:1])
+                Hl, sumsq = stencil3d.dual_time_step_overlap_z(
+                    Ht_l, Hl, ghost_lo, ghost_hi, zlo=zlo, zhi=zhi, **kw
+                )
+                if all_axes:
+                    sumsq = jax.lax.psum(sumsq, all_axes)
+                err = jnp.sqrt(sumsq) * cfg.dt / sqrt_n
+                return Hl, err.astype(Hl.dtype), it + 1
+
+            Hl, err, iters = jax.lax.while_loop(
+                cond_o,
+                body_o,
+                (Htau_l, jnp.asarray(jnp.inf, Htau_l.dtype), jnp.asarray(0, jnp.int32)),
+            )
+            return Hl, Hl, err, iters
 
         if use_pallas:
             from fpr_tpu.ops import pallas3d

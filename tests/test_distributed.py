@@ -78,6 +78,21 @@ def test_distributed_matches_single_device(mesh_shape, axes):
     np.testing.assert_allclose(dist.H, single.H, atol=1e-13)
 
 
+def test_overlap_comm_matches_plain():
+    # @hide_communication analog: interior-first compute with in-flight
+    # ppermute must be numerically identical to the ghost-padded step
+    mesh = make_mesh((4,), ("z",))
+    base = dict(nx=16, ny=16, nz=8, ttot=0.4, tol=1e-7, policy=ExecutionPolicy.JNP)
+    plain = dist_diffusion.solve_distributed(
+        DiffusionConfig(**base), mesh, dtype=jnp.float64
+    )
+    over = dist_diffusion.solve_distributed(
+        DiffusionConfig(overlap_comm=True, **base), mesh, dtype=jnp.float64
+    )
+    assert over.iters_total == plain.iters_total
+    np.testing.assert_allclose(over.H, plain.H, atol=1e-14)
+
+
 def test_distributed_weak_scaling_physical_size():
     # scale_physical_size keeps dx constant so per-shard work is invariant
     # (part1_kernel_programming.jl:106-114)
