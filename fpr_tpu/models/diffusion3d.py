@@ -31,7 +31,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

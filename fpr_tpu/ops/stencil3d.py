@@ -51,46 +51,6 @@ def dual_time_step(Ht, Htau, dt, dtau, dx, dy, dz, D, with_norm=True):
     return Htau_new, sumsq
 
 
-def dual_time_step_zext(
-    Ht, Htau_p, dt, dtau, dx, dy, dz, D, zlo, zhi, with_norm=True
-):
-    """Pseudo-time iteration on a z-ghost-padded local block (jnp tier).
-
-    Htau_p: (nz_l+2, ny, nx); Ht: (nz_l, ny, nx).  zlo/zhi: inclusive local-z
-    range of updateable cells (traced — shard-position dependent when the z
-    axis is decomposed over a device mesh).  y/x faces are global boundaries
-    (those axes are not sharded).  Returns (Htau_p', sumsq).
-    """
-    nzl, ny, nx = Ht.shape
-    C = Htau_p[1:-1, :, :]
-    zm = Htau_p[:-2, :, :]
-    zp = Htau_p[2:, :, :]
-    ym = jnp.concatenate([C[:, :1, :], C[:, :-1, :]], axis=1)
-    yp = jnp.concatenate([C[:, 1:, :], C[:, -1:, :]], axis=1)
-    xm = jnp.concatenate([C[:, :, :1], C[:, :, :-1]], axis=2)
-    xp = jnp.concatenate([C[:, :, 1:], C[:, :, -1:]], axis=2)
-
-    lap = (
-        (xp - 2.0 * C + xm) / (dx * dx)
-        + (yp - 2.0 * C + ym) / (dy * dy)
-        + (zp - 2.0 * C + zm) / (dz * dz)
-    )
-    dHdtau = (C - Ht) / dt - D * lap
-
-    gz = jax.lax.broadcasted_iota(jnp.int32, (nzl, ny, nx), 0)
-    gy = jax.lax.broadcasted_iota(jnp.int32, (nzl, ny, nx), 1)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (nzl, ny, nx), 2)
-    interior = (
-        (gz >= zlo) & (gz <= zhi)
-        & (gy > 0) & (gy < ny - 1)
-        & (gx > 0) & (gx < nx - 1)
-    )
-    dHdtau = jnp.where(interior, dHdtau, 0.0)
-    new = Htau_p.at[1:-1, :, :].set(C - dtau * dHdtau)
-    sumsq = jnp.sum(dHdtau * dHdtau) if with_norm else None
-    return new, sumsq
-
-
 def dual_time_step_ext3(
     Ht, H_ext, dt, dtau, dx, dy, dz, D,
     zlo, zhi, ylo, yhi, xlo, xhi, with_norm=True,

@@ -32,7 +32,6 @@ the Neumann copy is applied to every transfer (multigrid.jl:60-62, 129, 136).
 from __future__ import annotations
 
 import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
