@@ -54,12 +54,17 @@ def _on_tpu() -> bool:
 
 
 def _pick_br(ny: int, nx: int, itemsize: int) -> int:
-    """Block rows: multiple of 8, sized so ~6 buffered blocks fit VMEM."""
+    """Block rows: multiple of 8, sized so ~6 buffered blocks fit VMEM, and
+    balanced so the last block isn't mostly padding (e.g. ny=513 with
+    br=512 would process a second, 99%-pad block; balancing gives br=264
+    with 3% waste)."""
     budget = 48 * 1024 * 1024
-    br = 512
-    while br > 8 and 6 * (br + 2 * PAD) * nx * itemsize > budget:
-        br //= 2
-    return max(8, br)
+    br_max = 512
+    while br_max > 8 and 6 * (br_max + 2 * PAD) * nx * itemsize > budget:
+        br_max //= 2
+    br_max = max(8, br_max)
+    blocks = -(-ny // br_max)
+    return min(br_max, -(-(-(-ny // blocks)) // 8) * 8)
 
 
 def padded_rows(ny: int, br: int) -> int:
