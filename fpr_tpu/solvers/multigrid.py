@@ -214,9 +214,14 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     # the fused kernels implement the damped-Jacobi smoother; other
     # smoothers take the jnp tier at every level
     if cfg.smoother is not Smoother.JACOBI or ny * nx < PALLAS_MIN_AREA:
+        import dataclasses
+
         u = pallas2d.unpad2d(u_rp, ny, nx)
         f = pallas2d.unpad2d(f_rp, ny, nx)
-        u, r_rms = vcycle(u, f, h, c, tol, cfg, apply_bcs=apply_bcs)
+        # pin the small-level subtree to the jnp tier (pad-per-call Pallas
+        # drop-ins would dominate at these sizes)
+        sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
+        u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs)
         br = pallas2d._pick_br(ny, nx, jnp.dtype(u.dtype).itemsize)
         return pallas2d.pad2d(u, br), r_rms
 
