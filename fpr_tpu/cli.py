@@ -46,9 +46,13 @@ def cmd_diffusion3d(args):
     from fpr_tpu.parallel import dist_diffusion
     from fpr_tpu.parallel.mesh import make_mesh
 
+    policy = ExecutionPolicy(args.policy)
+    if args.f64 and policy is ExecutionPolicy.PALLAS and jax.default_backend() == "tpu":
+        print("note: Mosaic has no f64; using the jnp tier for --f64 on TPU")
+        policy = ExecutionPolicy.JNP
     cfg = DiffusionConfig(
         nx=args.n, ny=args.n, nz=args.n, ttot=args.ttot, tol=args.tol,
-        policy=ExecutionPolicy(args.policy),
+        policy=policy,
         scale_physical_size=args.scale_physical_size,
     )
     dtype = jnp.float64 if args.f64 else jnp.float32

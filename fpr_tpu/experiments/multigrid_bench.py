@@ -22,10 +22,16 @@ def main():
     ap.add_argument("--max-l", type=int, default=3)
     ap.add_argument("--solvers", default="direct,mixed")
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--out", default="benchmark-results/bench_multigrid.csv")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--workprec", action="store_true",
                     help="MG vs CG vs MG-PCG comparison instead of the k/l sweep")
     args = ap.parse_args()
+    if args.out is None:  # the two modes have different schemas
+        args.out = (
+            "benchmark-results/mg_workprecision.csv"
+            if args.workprec
+            else "benchmark-results/bench_multigrid.csv"
+        )
 
     import jax
 

@@ -192,7 +192,7 @@ def simulate(
         W=np.asarray(W),
         S=np.asarray(S),
         t_elapsed=t_elapsed,
-        timed_iters=step - 3,
+        timed_iters=max(step - 3, 0),
         steps=step,
         sim_time=sim_time,
         snapshots=snapshots,

@@ -99,7 +99,7 @@ def red_black_gs_step(u, f, h, c, with_norm=True):
 
 def rms(a: jnp.ndarray):
     """sqrt(sum(a^2)/N) over the full array, accumulated in f32-or-wider."""
-    acc = a.astype(jnp.float32) if a.dtype == jnp.float16 else a
+    acc = a.astype(jnp.float32) if a.dtype in (jnp.float16, jnp.bfloat16) else a
     return jnp.sqrt(jnp.sum(acc * acc) / a.size)
 
 

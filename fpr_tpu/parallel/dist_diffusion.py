@@ -32,7 +32,7 @@ from jax.experimental.shard_map import shard_map
 
 from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
 from fpr_tpu.core.grid import Grid3D, outer_steps, pseudo_timestep
-from fpr_tpu.ops import stencil3d
+from fpr_tpu.ops import reductions, stencil3d
 from fpr_tpu.parallel import halo
 from fpr_tpu.utils.timing import BenchResults, diffusion_bench_results
 
@@ -118,8 +118,7 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
                 Hl, sumsq = stencil3d.dual_time_step_overlap_z(
                     Ht_l, Hl, ghost_lo, ghost_hi, zlo=zlo, zhi=zhi, **kw
                 )
-                if all_axes:
-                    sumsq = jax.lax.psum(sumsq, all_axes)
+                sumsq = reductions.dist_sumsq(sumsq, all_axes)
                 err = jnp.sqrt(sumsq) * cfg.dt / sqrt_n
                 return Hl, err.astype(Hl.dtype), it + 1
 
@@ -159,8 +158,7 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
                     Ht_in, Hp, zlo=zlo, zhi=zhi, ylo=ylo, yhi=yhi,
                     xlo=xlo, xhi=xhi, **kw
                 )
-            if all_axes:
-                sumsq = jax.lax.psum(sumsq, all_axes)
+            sumsq = reductions.dist_sumsq(sumsq, all_axes)
             err = jnp.sqrt(sumsq) * cfg.dt / sqrt_n
             return Hp, err.astype(Hp.dtype), it + 1
 

@@ -67,17 +67,8 @@ def mask_bounds(axis_name: str | None, n_local: int):
 
 
 def exchange_faces_z(local: jnp.ndarray, axis_name: str):
-    """Exchange one-plane z-faces of a local (nz_l, ny, nx) block.
-
-    Returns (ghost_below, ghost_above): the neighbor planes to place at
-    local z = -1 and z = nz_l (zeros at the global edges).
-    """
-    n = lax.axis_size(axis_name)
-    fwd = [(i, i + 1) for i in range(n - 1)]
-    bwd = [(i + 1, i) for i in range(n - 1)]
-    ghost_below = lax.ppermute(local[-1:, :, :], axis_name, fwd)
-    ghost_above = lax.ppermute(local[:1, :, :], axis_name, bwd)
-    return ghost_below, ghost_above
+    """Exchange one-plane z-faces of a local (nz_l, ny, nx) block."""
+    return exchange_faces(local, axis_name, 0)
 
 
 def set_ghost_planes_z(padded: jnp.ndarray, axis_name: str):
@@ -90,11 +81,3 @@ def set_ghost_planes_z(padded: jnp.ndarray, axis_name: str):
     return padded
 
 
-def z_mask_bounds(axis_name: str, nz_local: int):
-    """(zlo, zhi): local-z index range (inclusive) of updateable cells —
-    shard-interior rows are always updateable; the global z faces are not."""
-    idx = lax.axis_index(axis_name)
-    n = lax.axis_size(axis_name)
-    zlo = jnp.where(idx == 0, 1, 0)
-    zhi = jnp.where(idx == n - 1, nz_local - 2, nz_local - 1)
-    return zlo, zhi

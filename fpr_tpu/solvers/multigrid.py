@@ -76,9 +76,10 @@ def _coarse_solve(u, f, h, c, tol, cfg: MGConfig, smooth):
         from fpr_tpu.solvers.krylov import cg
 
         x, r_rms, _ = cg(f, h, h, c, tol, max_iters, policy=cfg.policy)
-        # reference cg! overwrites u with the from-zero solution
-        # (krylov.jl:62,88); in MG the incoming u is already zero.
-        return u + x, r_rms
+        # reference cg! OVERWRITES u with the from-zero solution
+        # (krylov.jl:62,88) — the incoming iterate is discarded (it is zero
+        # on every coarse-correction level anyway)
+        return x, r_rms
 
     tol_rhs = tol * stencil2d.rms(f)
 
@@ -358,7 +359,7 @@ def mg_solve_mixed(
             u = bc.ns_temperature_bcs(u)
         r = stencil2d.residual(u, f, h, c)  # f64
         scale = stencil2d.rms(r)
-        safe = jnp.maximum(scale, jnp.asarray(1e-300, u.dtype))
+        safe = jnp.maximum(scale, jnp.asarray(jnp.finfo(u.dtype).tiny, u.dtype))
         r32 = (r / safe).astype(jnp.float32)
         e_rp = jnp.zeros(
             (pallas2d.padded_rows(ny, br32), pallas2d.padded_cols(nx)), jnp.float32

@@ -71,9 +71,20 @@ def append_csv_row(path, row: dict, key_fields=()) -> bool:
                     if tuple(r.get(k, "") for k in key_fields) == key:
                         return False
             f.seek(0, os.SEEK_END)
-            writer = csv.DictWriter(f, fieldnames=list(row.keys()))
             if f.tell() == 0:
+                writer = csv.DictWriter(f, fieldnames=list(row.keys()))
                 writer.writeheader()
+            else:
+                # align with the existing header; a disjoint schema is a bug
+                f.seek(0)
+                header = next(csv.reader(f))
+                missing = [k for k in row if k not in header]
+                if missing:
+                    raise ValueError(
+                        f"{path}: row fields {missing} not in existing header {header}"
+                    )
+                f.seek(0, os.SEEK_END)
+                writer = csv.DictWriter(f, fieldnames=header, restval="")
             writer.writerow(row)
             return True
         finally:
