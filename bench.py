@@ -77,12 +77,12 @@ def bench_mg(n: int, tol: float):
     )
     u0 = jnp.zeros((n, n), jnp.float64)
     # compile + converge once
-    u, r, it = mg_solve_mixed_jit(u0, b, h, 0.0, tol, 30)
+    u, r, it = mg_solve_mixed_jit(u0, b, h, 0.0, tol, 30, inner_cycles=2)
     float(r)
     best = np.inf
     for _ in range(3):
         t0 = time.time()
-        u, r, it = mg_solve_mixed_jit(u0, b, h, 0.0, tol, 30)
+        u, r, it = mg_solve_mixed_jit(u0, b, h, 0.0, tol, 30, inner_cycles=2)
         float(r)
         best = min(best, time.time() - t0)
     f_rms = float(jnp.sqrt(jnp.mean(b * b)))
