@@ -282,6 +282,153 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
     )
 
 
+def _smooth2r_kernel(
+    c_ref, u_hbm, f_hbm, out_hbm,
+    slabs, fbufs, results, sem_u, sem_f, sem_out,
+    *, BR, ny, nx, nxp, h, alpha,
+):
+    """Fused V-cycle downward leg: two chained damped-Jacobi sweeps AND the
+    post-pair residual in one HBM pass (one kernel call instead of three —
+    the per-call launch and per-DMA scalar overheads dominate these
+    latency-bound 2D passes)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    nslot = 1 - slot
+    E = BR + 2 * PAD
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def copy_u(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(block * BR, E), :], slabs.at[s], sem_u.at[s]
+        )
+
+    def copy_f(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            f_hbm.at[pl.ds(block * BR, E), :], fbufs.at[s], sem_f.at[s]
+        )
+
+    def copy_out(block, s):
+        block, s = _i32(block), _i32(s)
+        # one DMA drains both stacked result planes
+        return pltpu.make_async_copy(
+            results.at[s],
+            out_hbm.at[:, pl.ds(block * BR + PAD, BR), :],
+            sem_out.at[s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy_u(0, 0).start()
+        copy_f(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy_u(i + 1, nslot).start()
+        copy_f(i + 1, nslot).start()
+
+    copy_u(i, slot).wait()
+    copy_f(i, slot).wait()
+
+    @pl.when(i >= 2)
+    def _():
+        copy_out(i - 2, slot).wait()
+
+    U = slabs[slot, :, :]
+    F = fbufs[slot, :, :]
+    dtype = U.dtype
+    c = c_ref[0, 0]
+    C = jnp.asarray(4.0, dtype) + c * jnp.asarray(h * h, dtype)
+    _h2 = jnp.asarray(1.0 / (h * h), dtype)
+    w = jnp.asarray(alpha, dtype) * (jnp.asarray(h * h, dtype) / C)
+
+    gy = i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+    interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
+
+    def res_of(V):
+        vm = jnp.concatenate([V[:1, :], V[:-1, :]], axis=0)
+        vp = jnp.concatenate([V[1:, :], V[-1:, :]], axis=0)
+        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        return jnp.where(
+            interior, (vm + vp + vl + vr - C * V) * _h2 - F, jnp.asarray(0.0, dtype)
+        )
+
+    u1 = U + w * res_of(U)          # valid rows 1..E-2
+    u2 = u1 + w * res_of(u1)        # valid rows 2..E-3 (PAD=8 >> 2)
+    res = res_of(u2)                # valid rows 3..E-4; block rows are PAD..
+
+    results[slot, 0, :, :] = u2[PAD : PAD + BR, :]
+    results[slot, 1, :, :] = res[PAD : PAD + BR, :]
+    copy_out(i, slot).start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            copy_out(i - 1, nslot).wait()
+
+        copy_out(i, slot).wait()
+
+
+@functools.lru_cache(maxsize=256)
+def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret):
+    dtype = jnp.dtype(dtype_name)
+    total = padded_rows(ny, BR)
+    nxp = padded_cols(nx)
+    n_blocks = (total - 2 * PAD) // BR
+    kernel = functools.partial(
+        _smooth2r_kernel,
+        BR=BR, ny=ny, nx=nx, nxp=nxp, h=h, alpha=alpha,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, total, nxp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, BR + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, BR + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, 2, BR, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
+    """Two fused smooths plus the resulting residual, one HBM pass.
+
+    Returns (u_rp'', res_rp) — semantically identical to smooth2_rp followed
+    by residual_rp.  The results come back stacked (u at plane 0, res at
+    plane 1) to keep the output to one DMA per block.
+    """
+    call = _build_s2r(
+        ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
+        not _on_tpu(),
+    )
+    c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
+    out = call(c_arr, u_rp, f_rp)
+    return out[0], out[1]
+
+
 def _call(mode, u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, with_norm=False):
     dtype_name = jnp.dtype(u_rp.dtype).name
     call = _build(

@@ -230,16 +230,14 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     alpha = cfg.jacobi_damping
 
     if cfg.pre_smooth == 2:
-        u_rp, _ = pallas2d.smooth2_rp(
-            u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=False
-        )
+        # fused downward leg: both pre-smooths AND the residual in one pass
+        u_rp, res_rp = pallas2d.smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha)
     else:
         for _ in range(cfg.pre_smooth):
             u_rp, _ = pallas2d.smooth_rp(
                 u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=False
             )
-
-    res_rp = pallas2d.residual_rp(u_rp, f_rp, ny, nx, br, h, c)
+        res_rp = pallas2d.residual_rp(u_rp, f_rp, ny, nx, br, h, c)
     res_c = transfer.restrict_rp(res_rp, ny, nx, apply_bcs=apply_bcs)
 
     nyc, nxc = res_c.shape
