@@ -62,9 +62,9 @@ def _pick_br(ny: int, nx: int, itemsize: int) -> int:
     br_max = 512
     while br_max > 8 and 6 * (br_max + 2 * PAD) * nx * itemsize > budget:
         br_max //= 2
-    br_max = max(8, br_max)
+    br_max = max(16, br_max)
     blocks = -(-ny // br_max)
-    return min(br_max, -(-(-(-ny // blocks)) // 8) * 8)
+    return min(br_max, -(-(-(-ny // blocks)) // 16) * 16)
 
 
 def padded_rows(ny: int, br: int) -> int:
@@ -427,6 +427,230 @@ def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
     c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
     out = call(c_arr, u_rp, f_rp)
     return out[0], out[1]
+
+
+def x_interleave_coarse(coarse, nx_fine, apply_bcs=False):
+    """jnp pre-step for the fused upward leg: bilinear-interpolate the
+    (zero-boundary-masked) coarse correction along x only, producing
+    fine-width rows at coarse-row resolution.  The y interpolation happens
+    inside the kernel (sublane-strided stores are Mosaic-supported; lane
+    interleaves are not)."""
+    from fpr_tpu.core import bc as _bc
+
+    c0 = _bc.zero_boundary_2d(coarse)
+    nyc, nxc = c0.shape
+    cx = (c0[:, :-1] + c0[:, 1:]) * 0.5
+    rows = jnp.stack([c0[:, :-1], cx], axis=2).reshape(nyc, 2 * (nxc - 1))
+    rows = jnp.concatenate([rows, c0[:, -1:]], axis=1)  # (nyc, nx_fine)
+    if apply_bcs:
+        rows = _bc.neumann_left_right(rows)
+    return rows
+
+
+def _corr_smooth2_kernel(
+    c_ref, u_hbm, f_hbm, corr_hbm, out_hbm, acc_ref,
+    slabs, fbufs, cbufs, results, sem_u, sem_f, sem_c, sem_out,
+    *, BR, ny, nx, nxp, h, alpha, with_norm,
+):
+    """Fused V-cycle upward leg: y-interpolation of the (x-pre-interleaved)
+    coarse correction, the subtraction, and both post-smooths in one pass.
+
+    BR must be a multiple of 16 so the coarse windows stay sublane-aligned
+    and the fine/coarse row parity is fixed across blocks.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    nslot = 1 - slot
+    E = BR + 2 * PAD
+    CW = BR // 2 + 2 * PAD  # coarse window rows
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def copy_u(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(block * BR, E), :], slabs.at[s], sem_u.at[s]
+        )
+
+    def copy_f(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            f_hbm.at[pl.ds(block * BR, E), :], fbufs.at[s], sem_f.at[s]
+        )
+
+    def copy_c(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            corr_hbm.at[pl.ds(block * (BR // 2), CW), :], cbufs.at[s], sem_c.at[s]
+        )
+
+    def copy_out(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            results.at[s], out_hbm.at[pl.ds(block * BR + PAD, BR), :], sem_out.at[s]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy_u(0, 0).start()
+        copy_f(0, 0).start()
+        copy_c(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy_u(i + 1, nslot).start()
+        copy_f(i + 1, nslot).start()
+        copy_c(i + 1, nslot).start()
+
+    copy_u(i, slot).wait()
+    copy_f(i, slot).wait()
+    copy_c(i, slot).wait()
+
+    @pl.when(i >= 2)
+    def _():
+        copy_out(i - 2, slot).wait()
+
+    U = slabs[slot, :, :]
+    F = fbufs[slot, :, :]
+    CB = cbufs[slot, :, :]
+    dtype = U.dtype
+    c = c_ref[0, 0]
+    C4 = jnp.asarray(4.0, dtype) + c * jnp.asarray(h * h, dtype)
+    _h2 = jnp.asarray(1.0 / (h * h), dtype)
+    w = jnp.asarray(alpha, dtype) * (jnp.asarray(h * h, dtype) / C4)
+
+    # --- y-interpolate the correction onto the fine E-row window ---
+    # fine ext row p <-> global fine row g = i*BR - PAD + p (even base), so
+    # even p take coarse row g/2 = CB row p/2 + PAD/2; odd p take the
+    # midpoint of that row and the next.
+    half = PAD // 2
+    rowpair = CB[half : half + E // 2, :]
+    cb_dn = CB[half + 1 : half + 1 + E // 2, :]
+    rowmid = (rowpair + cb_dn) * 0.5
+    # sublane element-repeat (broadcast+reshape is Mosaic-supported; lane
+    # interleaves and non-128-wide strided stores are not), then pick by
+    # row parity: P[p] = rowpair[p//2] if p even else rowmid[p//2]
+    rp2 = jnp.broadcast_to(rowpair[:, None, :], (E // 2, 2, nxp)).reshape(E, nxp)
+    rm2 = jnp.broadcast_to(rowmid[:, None, :], (E // 2, 2, nxp)).reshape(E, nxp)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    even = jax.lax.rem(prow, jnp.asarray(2, jnp.int32)) == 0
+    P = jnp.where(even, rp2, rm2)
+    U = U - P  # subtract the correction (multigrid.jl:139)
+
+    # --- two chained damped-Jacobi sweeps (as in smooth2) ---
+    gy = i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+    interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
+
+    def res_of(V):
+        vm = jnp.concatenate([V[:1, :], V[:-1, :]], axis=0)
+        vp = jnp.concatenate([V[1:, :], V[-1:, :]], axis=0)
+        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        return jnp.where(
+            interior, (vm + vp + vl + vr - C4 * V) * _h2 - F, jnp.asarray(0.0, dtype)
+        )
+
+    u1 = U + w * res_of(U)
+    res2 = res_of(u1)
+    u2 = u1 + w * res2
+
+    results[slot, :, :] = u2[PAD : PAD + BR, :]
+
+    if with_norm:
+        @pl.when(i == 0)
+        def _():
+            acc_ref[0, 0] = jnp.asarray(0.0, dtype)
+
+        acc_ref[0, 0] += jnp.sum(
+            res2[PAD : PAD + BR, :] * res2[PAD : PAD + BR, :]
+        )
+
+    copy_out(i, slot).start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            copy_out(i - 1, nslot).wait()
+
+        copy_out(i, slot).wait()
+
+
+@functools.lru_cache(maxsize=256)
+def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret):
+    dtype = jnp.dtype(dtype_name)
+    total = padded_rows(ny, BR)
+    nxp = padded_cols(nx)
+    n_blocks = (total - 2 * PAD) // BR
+    kernel = functools.partial(
+        _corr_smooth2_kernel,
+        BR=BR, ny=ny, nx=nx, nxp=nxp,
+        h=h, alpha=alpha, with_norm=with_norm,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((total, nxp), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BR + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, BR + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, BR // 2 + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, BR, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+def corr_smooth2_rp(
+    u_rp, f_rp, corr_phys, ny, nx, br, h, c,
+    alpha=0.8, apply_bcs=False, with_norm=False,
+):
+    """Fused upward leg: u -= prolongate(corr); two smooths; optional norm.
+
+    corr_phys is the coarse level's PHYSICAL array; the x direction is
+    interpolated here in XLA (cheap), the y direction inside the kernel.
+    Requires br % 16 == 0.  Returns (u_rp'', r_rms or None).
+    """
+    assert br % 16 == 0, br
+    corrx = x_interleave_coarse(corr_phys, nx, apply_bcs=apply_bcs)
+    total = padded_rows(ny, br)
+    n_blocks = (total - 2 * PAD) // br
+    rows_needed = n_blocks * (br // 2) + 2 * PAD
+    nxp = padded_cols(nx)
+    corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)
+    corrx_rp = corrx_rp.at[PAD : PAD + corrx.shape[0], :nx].set(corrx)
+    call = _build_cs2(
+        ny, nx, jnp.dtype(u_rp.dtype).name, br,
+        float(h), float(alpha), bool(with_norm), rows_needed,
+        not _on_tpu(),
+    )
+    c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
+    out, acc = call(c_arr, u_rp, f_rp, corrx_rp)
+    r_rms = jnp.sqrt(acc[0, 0] / (nx * ny)) if with_norm else None
+    return out, r_rms
 
 
 def _call(mode, u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, with_norm=False):

@@ -250,16 +250,18 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
         corr_rp, fc_rp, nyc, nxc, h * 2.0, c, tol, cfg, apply_bcs=apply_bcs
     )
 
-    corr_f = transfer.prolongate_rp(
-        pallas2d.unpad2d(corr_rp, nyc, nxc), (ny, nx), u_rp.shape, apply_bcs=apply_bcs
-    )
-    u_rp = u_rp - corr_f
-
     if cfg.post_smooth == 2:
-        u_rp, r_rms = pallas2d.smooth2_rp(
-            u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=True
+        # fused upward leg: prolongate + correct + both post-smooths
+        u_rp, r_rms = pallas2d.corr_smooth2_rp(
+            u_rp, f_rp, pallas2d.unpad2d(corr_rp, nyc, nxc), ny, nx, br, h, c,
+            alpha, apply_bcs=apply_bcs, with_norm=True,
         )
     else:
+        corr_f = transfer.prolongate_rp(
+            pallas2d.unpad2d(corr_rp, nyc, nxc), (ny, nx), u_rp.shape,
+            apply_bcs=apply_bcs,
+        )
+        u_rp = u_rp - corr_f
         r_rms = None
         for s in range(cfg.post_smooth):
             want = s == cfg.post_smooth - 1
