@@ -54,10 +54,11 @@ def _on_tpu() -> bool:
 
 
 def _pick_br(ny: int, nx: int, itemsize: int) -> int:
-    """Block rows: multiple of 8, sized so ~6 buffered blocks fit VMEM, and
-    balanced so the last block isn't mostly padding (e.g. ny=513 with
-    br=512 would process a second, 99%-pad block; balancing gives br=264
-    with 3% waste)."""
+    """Block rows: multiple of 16 (corr_smooth2_rp needs the coarse windows
+    sublane-aligned and a fixed fine/coarse row parity), sized so ~6
+    buffered blocks fit VMEM, and balanced so the last block isn't mostly
+    padding (e.g. ny=513 with br=512 would process a second, 99%-pad
+    block; balancing gives br=272 with 3% waste)."""
     budget = 48 * 1024 * 1024
     br_max = 512
     while br_max > 8 and 6 * (br_max + 2 * PAD) * nx * itemsize > budget:
@@ -406,6 +407,11 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret):
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=30 * ny * nx,
+            bytes_accessed=4 * dtype.itemsize * ny * nx,
+            transcendentals=0,
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -429,7 +435,7 @@ def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
     return out[0], out[1]
 
 
-def x_interleave_coarse(coarse, nx_fine, apply_bcs=False):
+def x_interleave_coarse(coarse, apply_bcs=False):
     """jnp pre-step for the fused upward leg: bilinear-interpolate the
     (zero-boundary-masked) coarse correction along x only, producing
     fine-width rows at coarse-row resolution.  The y interpolation happens
@@ -617,6 +623,11 @@ def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=25 * ny * nx,
+            bytes_accessed=int(4.5 * dtype.itemsize) * ny * nx,
+            transcendentals=0,
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -635,7 +646,7 @@ def corr_smooth2_rp(
     Requires br % 16 == 0.  Returns (u_rp'', r_rms or None).
     """
     assert br % 16 == 0, br
-    corrx = x_interleave_coarse(corr_phys, nx, apply_bcs=apply_bcs)
+    corrx = x_interleave_coarse(corr_phys, apply_bcs=apply_bcs)
     total = padded_rows(ny, br)
     n_blocks = (total - 2 * PAD) // br
     rows_needed = n_blocks * (br // 2) + 2 * PAD

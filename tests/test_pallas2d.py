@@ -41,6 +41,53 @@ def test_pad_roundtrip(rng):
     )
 
 
+def test_fused_legs_match_composition(rng):
+    # smooth2 == two smooths; smooth2r == smooth2 + residual;
+    # corr_smooth2 == prolongate + subtract + smooth2 (multi-block shapes)
+    from fpr_tpu.ops import transfer
+
+    for (ny, nx), bcs in [((33, 129), False), ((65, 257), True)]:
+        nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
+        br = pallas2d._pick_br(ny, nx, 8)
+        u = pallas2d.pad2d(jnp.asarray(rng.random((ny, nx))), br)
+        f = pallas2d.pad2d(jnp.asarray(rng.random((ny, nx))), br)
+        corr = jnp.asarray(rng.random((nyc, nxc)))
+        h, c = 1.0 / (ny - 1), 0.9
+
+        u1, _ = pallas2d.smooth_rp(u, f, ny, nx, br, h, c, with_norm=False)
+        u2, r2 = pallas2d.smooth_rp(u1, f, ny, nx, br, h, c, with_norm=True)
+        v2, s2 = pallas2d.smooth2_rp(u, f, ny, nx, br, h, c, with_norm=True)
+        np.testing.assert_allclose(
+            np.asarray(pallas2d.unpad2d(v2, ny, nx)),
+            np.asarray(pallas2d.unpad2d(u2, ny, nx)), atol=1e-14,
+        )
+        assert abs(float(s2) - float(r2)) < 1e-13
+
+        res2 = pallas2d.residual_rp(v2, f, ny, nx, br, h, c)
+        v2r, res2r = pallas2d.smooth2r_rp(u, f, ny, nx, br, h, c)
+        np.testing.assert_allclose(
+            np.asarray(pallas2d.unpad2d(v2r, ny, nx)),
+            np.asarray(pallas2d.unpad2d(v2, ny, nx)), atol=1e-14,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pallas2d.unpad2d(res2r, ny, nx)),
+            np.asarray(pallas2d.unpad2d(res2, ny, nx)), atol=1e-14,
+        )
+
+        corr_f = transfer.prolongate_rp(corr, (ny, nx), u.shape, apply_bcs=bcs)
+        u_ref, r_ref = pallas2d.smooth2_rp(
+            u - corr_f, f, ny, nx, br, h, c, with_norm=True
+        )
+        u_got, r_got = pallas2d.corr_smooth2_rp(
+            u, f, corr, ny, nx, br, h, c, apply_bcs=bcs, with_norm=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(pallas2d.unpad2d(u_got, ny, nx)),
+            np.asarray(pallas2d.unpad2d(u_ref, ny, nx)), atol=1e-14,
+        )
+        assert abs(float(r_got) - float(r_ref)) < 1e-13
+
+
 def _manufactured(n, h, rng):
     from fpr_tpu.ops import oracle
 
