@@ -78,6 +78,24 @@ def test_distributed_matches_single_device(mesh_shape, axes):
     np.testing.assert_allclose(dist.H, single.H, atol=1e-13)
 
 
+def test_distributed_pallas_policy_matches():
+    # the fused kernel inside shard_map (interpret mode on the virtual
+    # mesh; the TPU scaling experiment exercises the compiled variant)
+    single = diffusion3d.solve(
+        DiffusionConfig(nx=16, ny=16, nz=16, ttot=0.4, tol=1e-7,
+                        policy=ExecutionPolicy.JNP),
+        dtype=jnp.float64,
+    )
+    mesh = make_mesh((2,), ("z",))
+    dist = dist_diffusion.solve_distributed(
+        DiffusionConfig(nx=16, ny=16, nz=8, ttot=0.4, tol=1e-7,
+                        policy=ExecutionPolicy.PALLAS),
+        mesh, dtype=jnp.float64,
+    )
+    assert dist.iters_total == single.iters_total
+    np.testing.assert_allclose(dist.H, single.H, atol=1e-13)
+
+
 def test_overlap_comm_matches_plain():
     # @hide_communication analog: interior-first compute with in-flight
     # ppermute must be numerically identical to the ghost-padded step
