@@ -60,11 +60,14 @@ def main():
             cfg = DiffusionConfig(nx=n, ny=n, nz=n, ttot=2.0, tol=tol, policy=policy)
             res = diffusion3d.solve(cfg, dtype=dtype)
             row = dict(
+                nx=n,
                 tol=tol,
                 val=diffusion3d.probe_nearest(res.H, g),
                 interp_val=diffusion3d.probe_trilinear(res.H, g),
             )
-            append_csv_row(out_csv, row, key_fields=("tol",))
+            # grid size IS part of the key: a stale 64^3 row must not block
+            # the reference-scale 128^3 re-run (round-1 defect)
+            append_csv_row(out_csv, row, key_fields=("nx", "tol"))
             print(row)
 
 

@@ -49,6 +49,9 @@ def main():
     policy = ExecutionPolicy.PALLAS if backend == "tpu" else ExecutionPolicy.JNP
 
     if args.mode == "strong":
+        if args.n % n_dev:
+            ap.error(f"strong mode: --n {args.n} must be divisible by the "
+                     f"device count {n_dev} (the global grid would shrink)")
         nz_local = args.n // n_dev
         scale = False
     else:
@@ -61,6 +64,9 @@ def main():
     out = dist_diffusion.solve_distributed(cfg, mesh, dtype=jnp.float32)
     row = dict(
         mode=args.mode, n=args.n, devices=n_dev, backend=backend,
+        # virtual CPU devices share host cores: such rows validate the
+        # sharding, they are NOT scaling measurements — mark them so
+        virtual=bool(args.virtual),
         policy=policy.value, iters=out.timed_iters,
         seconds=round(out.bench.delta_t, 4),
         throughput_gbs=round(out.bench.throughput / 1e9, 2),

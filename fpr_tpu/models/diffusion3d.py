@@ -150,7 +150,10 @@ def solve(
         n_it = int(iters)  # host sync, once per physical step
         iters_total += n_it
         timed_iters += n_it
-        if n_it >= cfg.iter_max:
+        # convergence is err <= tol, NOT the iteration count: with the fused
+        # kernel (iters_per_call=2) the loop can exit at it == iter_max + 1
+        # having actually converged on its final fused call
+        if not (float(err) <= cfg.tol):
             converged = False
         if verbose:
             print(f"step {it_outer}: {n_it} iters, err={float(err):.3e}")

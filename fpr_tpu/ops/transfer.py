@@ -16,7 +16,7 @@ between) and convolving with the separable kernel
          [1/4, 1/2, 1/4]]
 
 which we evaluate with shifted adds.  Linearity makes the two forms exactly
-equal (unit-tested against a numpy scatter oracle in tests/test_transfer.py).
+equal (unit-tested against a numpy scatter oracle in tests/test_ops2d.py).
 
 Both transfers zero the target boundary and then optionally apply the
 Neumann left/right copy, exactly as restrict_wrapper!/prolongate_wrapper!

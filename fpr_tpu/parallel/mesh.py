@@ -31,6 +31,7 @@ def make_mesh(shape=None, axis_names=None, devices=None) -> Mesh:
         raise ValueError(f"mesh shape {shape} needs {need} devices, have {len(devices)}")
     devices = devices[:need]
     if axis_names is None:
-        axis_names = ("z", "y", "x")[3 - len(shape):]
+        # leading axes first: 1D mesh -> ('z',), 2D -> ('z', 'y')
+        axis_names = ("z", "y", "x")[: len(shape)]
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names)

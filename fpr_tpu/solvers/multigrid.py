@@ -365,14 +365,22 @@ def mg_solve_mixed(
             (pallas2d.padded_rows(ny, br32), pallas2d.padded_cols(nx)), jnp.float32
         )
         r32_rp = pallas2d.pad2d(r32, br32)
+        e_rms = jnp.asarray(jnp.inf, jnp.float32)
         for _ in range(inner_cycles):
-            e_rp, _ = vcycle_rp(
+            e_rp, e_rms = vcycle_rp(
                 e_rp, r32_rp, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs
             )
         e = pallas2d.unpad2d(e_rp, ny, nx).astype(u.dtype) * safe
         u = u - e
-        # the defect norm just measured is the convergence signal
-        return u, scale, it + 1
+        # convergence signal: the POST-correction defect estimate.  The inner
+        # V-cycle's final fine-level r_rms is rms(A e - r/||r||) in f32;
+        # rescaled by ||r|| it estimates rms(A u' - f) for the corrected u'.
+        # Carrying the pre-correction `scale` instead costs one extra outer
+        # iteration (one f64 residual + one f32 V-cycle) after the tolerance
+        # is actually met.  f32 rounding noise only ADDS to the measured rms,
+        # so this estimate stays conservative (never exits early falsely).
+        r_est = e_rms.astype(u.dtype) * safe
+        return u, r_est, it + 1
 
     u, r_rms, it = jax.lax.while_loop(
         cond,

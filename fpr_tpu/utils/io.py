@@ -33,8 +33,13 @@ def load_fortran(path) -> np.ndarray:
             return out
     except IOError:
         raise
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover - native-reader regression
+        # only library-unavailable is a silent fallback; a native reader that
+        # RAISES (shape/ABI regression) must be heard, or the bit-parity
+        # guarantee the native tier provides is silently weakened
+        import warnings
+
+        warnings.warn(f"native Fortran reader failed ({e!r}); numpy fallback")
     with open(path, "rb") as f:
         nx = int(np.fromfile(f, dtype=np.int32, count=1)[0])
         ny = int(np.fromfile(f, dtype=np.int32, count=1)[0])

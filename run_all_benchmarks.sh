@@ -23,8 +23,9 @@ $PY -m fpr_tpu.experiments.multigrid_bench --max-k 12
 $PY -m fpr_tpu.experiments.multigrid_bench --workprec --max-k 10 \
     --out "$RESULTS/mg_workprecision.csv"
 
-echo "== NS timestepping =="
-$PY -m fpr_tpu.experiments.ns_timestepping --small
+echo "== NS timestepping (full 2049x513 scale; resume-by-key) =="
+$PY -m fpr_tpu.experiments.ns_timestepping --solver mixed \
+    --out "$RESULTS/ns_fullscale.csv"
 
 echo "== plots =="
 $PY -m fpr_tpu.plotting.plots --results "$RESULTS" --figs figs
