@@ -64,29 +64,37 @@ def bench_diffusion(n: int, iters_cap: int):
 
 
 def bench_mg(n: int, tol: float):
+    """Time-to-tolerance via the double-single defect-correction solver
+    (no emulated f64 anywhere in the solve; the reported residual is the
+    TRUE defect, verified here against an f64 oracle after timing)."""
     import jax.numpy as jnp
 
-    from fpr_tpu.solvers.multigrid import mg_solve_mixed_jit
+    from fpr_tpu.ops import stencil2d
+    from fpr_tpu.solvers.multigrid import mg_solve_ds_jit
 
     h = 1.0 / (n - 1)
     key = jax.random.PRNGKey(0)
     b = (
-        jnp.zeros((n, n), jnp.float64)
+        jnp.zeros((n, n), jnp.float32)
         .at[1:-1, 1:-1]
-        .set(jax.random.uniform(key, (n - 2, n - 2), jnp.float64))
+        .set(jax.random.uniform(key, (n - 2, n - 2), jnp.float32))
     )
-    u0 = jnp.zeros((n, n), jnp.float64)
     # compile + converge once
-    u, r, it = mg_solve_mixed_jit(u0, b, h, 0.0, tol, 30, inner_cycles=2)
+    (uh, ul), r, it = mg_solve_ds_jit(b, h, 0.0, tol, 30, return_pair=True)
     float(r)
     best = np.inf
     for _ in range(3):
         t0 = time.time()
-        u, r, it = mg_solve_mixed_jit(u0, b, h, 0.0, tol, 30, inner_cycles=2)
+        (uh, ul), r, it = mg_solve_ds_jit(b, h, 0.0, tol, 30, return_pair=True)
         float(r)
         best = min(best, time.time() - t0)
-    f_rms = float(jnp.sqrt(jnp.mean(b * b)))
-    return best, int(it), float(r) / f_rms
+    # f64 oracle verification OUTSIDE the timed region (b is
+    # f32-representable, so its f64 lift is exact)
+    u64 = uh.astype(jnp.float64) + ul.astype(jnp.float64)
+    b64 = b.astype(jnp.float64)
+    res = stencil2d.residual(u64, b64, h, 0.0)
+    rel_true = float(stencil2d.rms(res)) / float(stencil2d.rms(b64))
+    return best, int(it), rel_true
 
 
 def main():
@@ -115,8 +123,10 @@ def main():
         mg_s, mg_iters, mg_rel = bench_mg(n_mg, 1e-6)
         extras.update({
             "mg_grid": f"{n_mg}^2",
+            "mg_solver": "double-single defect correction (mg_solve_ds)",
             "mg_seconds_to_tol1e-6": mg_s,
             "mg_outer_iterations": mg_iters,
+            "mg_true_f64_rel_residual": mg_rel,
             "mg_vs_v100_0.154s": 0.154 / mg_s if n_mg == 4097 else None,
         })
 

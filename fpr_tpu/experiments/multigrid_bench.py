@@ -20,7 +20,7 @@ def main():
     ap.add_argument("--min-k", type=int, default=4)
     ap.add_argument("--max-k", type=int, default=12)
     ap.add_argument("--max-l", type=int, default=3)
-    ap.add_argument("--solvers", default="direct,mixed")
+    ap.add_argument("--solvers", default="direct,mixed,ds")
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--out", default=None)
     ap.add_argument("--workprec", action="store_true",
@@ -99,15 +99,26 @@ def main():
                     n = 2**k + 1
                     h = 1.0 / (n - 1)
                     cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse)
-                    dtype = jnp.float64
-                    b = rhs(n, dtype)
-                    u0 = jnp.zeros((n, n), dtype)
                     try:
-                        if solver == "mixed":
+                        if solver == "ds":
+                            # double-single defect correction; rhs created
+                            # directly in f32 (an f64 rhs at k=14 is 2.1 GB
+                            # of pure conversion ballast), result as the
+                            # native hi/lo pair — no emulated f64 anywhere
+                            b32 = rhs(n, jnp.float32)
+                            fn = lambda: multigrid.mg_solve_ds_jit(
+                                b32, h, 0.0, args.tol, 30, cfg=cfg,
+                                return_pair=True,
+                            )
+                        elif solver == "mixed":
+                            b = rhs(n, jnp.float64)
+                            u0 = jnp.zeros((n, n), jnp.float64)
                             fn = lambda: multigrid.mg_solve_mixed_jit(
                                 u0, b, h, 0.0, args.tol, 30, cfg=cfg
                             )
                         else:
+                            b = rhs(n, jnp.float64)
+                            u0 = jnp.zeros((n, n), jnp.float64)
                             fn = lambda: multigrid.mg_solve_jit(
                                 u0, b, h, 0.0, args.tol, 30, cfg=cfg
                             )

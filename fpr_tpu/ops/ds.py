@@ -1,0 +1,383 @@
+"""Double-single (two-float32) arithmetic + the fused defect-correction
+kernel for mixed-precision multigrid.
+
+Why this exists: TPUs have no native f64 (XLA emulates it in software —
+measured 4.2 ms for one 4097^2 residual pass vs ~1 ms of equivalent f32
+traffic), but plain f32 cannot evaluate the residual r = A u - f on fine
+grids: the 5-point numerator cancels catastrophically and the f32 rounding
+floor eps*8|u|/h^2 sits orders of magnitude above tol*rms(f) (CLAUDE.md,
+round-1 measurements).  A double-single representation u ~ hi + lo with
+|lo| <= ulp(hi)/2 carries ~48 mantissa bits — enough for tol 1e-6 at the
+reference's largest grid (16385^2, h^2 = 3.7e-9) — while every operation
+runs at native f32 VPU speed inside a Pallas kernel.
+
+The error-free transformations are the classical ones (Dekker 1971, Knuth
+TAOCP v2): two_sum, quick_two_sum, Veltkamp split + Dekker product.  They
+rely on IEEE-exact single ops; XLA/Mosaic lower jnp ops 1:1 without
+reassociation, which tests/test_ds.py verifies on every backend.
+
+The fused kernel (one HBM pass per outer defect-correction iteration):
+
+    u'  = u - scale * e          (ds update; e is the f32 V-cycle output)
+    r   = (u'_E + u'_W + u'_N + u'_S - C u') / h^2 - f    (ds stencil)
+    acc += sum(r_hi^2)           (the TRUE defect norm, not an estimate)
+    out: u' (hi, lo planes), r_hi (the next V-cycle's rhs)
+
+replacing, per outer iteration, an XLA-emulated f64 residual + rms + axpy +
+cast + pad chain (~11 ms at 4097^2) with ~2 ms of f32 work.
+
+Reference provenance: the outer loop this accelerates is MGsolve_2DPoisson!
+(multigrid.jl:41-84); the residual definition matches residual_2DPoisson!
+(multigrid.jl:173-188) with C = 4 + c h^2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fpr_tpu.ops.pallas2d import (
+    LANE,
+    PAD,
+    _im32,
+    _on_tpu,
+    padded_cols,
+    padded_rows,
+)
+
+# ---------------------------------------------------------------------------
+# error-free transformations (work under jnp and inside Pallas kernels)
+# ---------------------------------------------------------------------------
+
+
+def two_sum(a, b):
+    """s + err == a + b exactly (6 flops, no magnitude precondition)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def quick_two_sum(a, b):
+    """s + err == a + b exactly, REQUIRES |a| >= |b| (3 flops)."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def ds_add(xh, xl, yh, yl):
+    """(xh, xl) + (yh, yl), renormalized."""
+    s, e = two_sum(xh, yh)
+    e = e + (xl + yl)
+    return quick_two_sum(s, e)
+
+
+def ds_neg(xh, xl):
+    return -xh, -xl
+
+
+_SPLIT = 4097.0  # 2^12 + 1: Veltkamp split constant for f32 (24-bit mantissa)
+
+
+def split(a):
+    """Veltkamp split: a == hi + lo with hi, lo 12-bit-mantissa halves."""
+    t = a * _SPLIT
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """p + err == a * b exactly (Dekker product; no FMA assumed)."""
+    p = a * b
+    ah, al = split(a)
+    bh, bl = split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def ds_mul_f1(xh, xl, c):
+    """(xh, xl) * c for a plain f32 scalar/array c."""
+    p, e = two_prod(xh, c)
+    e = e + xl * c
+    return quick_two_sum(p, e)
+
+
+def ds_mul_ds(xh, xl, yh, yl):
+    """(xh, xl) * (yh, yl) (drops the xl*yl term, below 2^-48)."""
+    p, e = two_prod(xh, yh)
+    e = e + (xh * yl + xl * yh)
+    return quick_two_sum(p, e)
+
+
+def to_ds(x):
+    """f64 array -> (hi, lo) f32 pair (requires x64 enabled)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def from_ds(hi, lo, dtype=jnp.float64):
+    return hi.astype(dtype) + lo.astype(dtype)
+
+
+def _is_pow2(x: float) -> bool:
+    import math
+
+    m, _ = math.frexp(x)
+    return m == 0.5
+
+
+# ---------------------------------------------------------------------------
+# fused defect kernel
+# ---------------------------------------------------------------------------
+
+
+def _defect_kernel(
+    scal_ref, u_hbm, f_hbm, e_hbm, uout_hbm, r32_hbm, acc_ref,
+    uslabs, fbufs, ebufs, ures, rres, sem_u, sem_f, sem_e, sem_uo, sem_r,
+    *, BR, ny, nx, nxp, inv_h2, c_zero, with_update,
+):
+    """One grid step: ds update + ds residual + norm on a BR-row block.
+
+    scal_ref (SMEM, (3, 1)): [scale, C_hi, C_lo].
+    u_hbm/f_hbm: (2, total, nxp) hi/lo planes.  e_hbm: (total, nxp) f32.
+    inv_h2 must be an exact power of two (asserted by the builder) so the
+    1/h^2 scaling is exact in both components.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    nslot = 1 - slot
+    E = BR + 2 * PAD
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def copy_u(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds(block * BR, E), :], uslabs.at[s], sem_u.at[s]
+        )
+
+    def copy_f(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(block * BR + PAD, BR), :], fbufs.at[s], sem_f.at[s]
+        )
+
+    def copy_e(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            e_hbm.at[pl.ds(block * BR, E), :], ebufs.at[s], sem_e.at[s]
+        )
+
+    def copy_uo(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            ures.at[s], uout_hbm.at[:, pl.ds(block * BR + PAD, BR), :], sem_uo.at[s]
+        )
+
+    def copy_r(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            rres.at[s], r32_hbm.at[pl.ds(block * BR + PAD, BR), :], sem_r.at[s]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy_u(0, 0).start()
+        copy_f(0, 0).start()
+        if with_update:
+            copy_e(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy_u(i + 1, nslot).start()
+        copy_f(i + 1, nslot).start()
+        if with_update:
+            copy_e(i + 1, nslot).start()
+
+    copy_u(i, slot).wait()
+    copy_f(i, slot).wait()
+    if with_update:
+        copy_e(i, slot).wait()
+
+    @pl.when(i >= 2)
+    def _():
+        copy_uo(i - 2, slot).wait()
+        copy_r(i - 2, slot).wait()
+
+    uh = uslabs[slot, 0, :, :]
+    ul = uslabs[slot, 1, :, :]
+
+    if with_update:
+        # u' = u - scale * e on the FULL extended window (the halo rows are
+        # recomputed identically by the neighboring block — deterministic)
+        scale = scal_ref[0, 0]
+        ph, pe = two_prod(ebufs[slot, :, :], scale)
+        uh, ul = ds_add(uh, ul, -ph, -pe)
+
+    # --- ds 5-point residual ---
+    def sh_up(v):
+        return jnp.concatenate([v[:1, :], v[:-1, :]], axis=0)
+
+    def sh_dn(v):
+        return jnp.concatenate([v[1:, :], v[-1:, :]], axis=0)
+
+    def sh_lf(v):
+        return jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)
+
+    def sh_rt(v):
+        return jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
+
+    # neighbor sum with a two_sum cascade: collect the three exact addition
+    # errors + the four lo parts in plain f32 (their magnitudes are ~2^-24
+    # of the operands; accumulating them naively costs < 2^-48 relative)
+    s1, e1 = two_sum(sh_up(uh), sh_dn(uh))
+    s2, e2 = two_sum(sh_lf(uh), sh_rt(uh))
+    sh_, e3 = two_sum(s1, s2)
+    sl_ = ((e1 + e2) + e3) + (
+        (sh_up(ul) + sh_dn(ul)) + (sh_lf(ul) + sh_rt(ul))
+    )
+
+    # C u (C = 4 + c h^2 passed as a ds scalar; exact x4 when c == 0)
+    if c_zero:
+        cuh, cul = uh * 4.0, ul * 4.0
+    else:
+        cuh, cul = ds_mul_ds(uh, ul, scal_ref[1, 0], scal_ref[2, 0])
+
+    th, tl = ds_add(sh_, sl_, -cuh, -cul)
+    # exact power-of-two scaling
+    th, tl = th * inv_h2, tl * inv_h2
+
+    # r = t - f on the BLOCK rows only (f is fetched unextended); only the
+    # hi part is consumed (rhs of the f32 V-cycle and the norm), so skip
+    # the final renormalization's lo output
+    blk = slice(PAD, PAD + BR)
+    rs, re = two_sum(th[blk, :], -fbufs[slot, 0, :, :])
+    r = rs + (re + (tl[blk, :] - fbufs[slot, 1, :, :]))
+
+    gy = i * BR + jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 1)
+    interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
+    r = jnp.where(interior, r, jnp.asarray(0.0, jnp.float32))
+
+    ures[slot, 0, :, :] = uh[blk, :]
+    ures[slot, 1, :, :] = ul[blk, :]
+    rres[slot, :, :] = r
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = jnp.asarray(0.0, jnp.float32)
+
+    acc_ref[0, 0] += jnp.sum(r * r)
+
+    copy_uo(i, slot).start()
+    copy_r(i, slot).start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            copy_uo(i - 1, nslot).wait()
+            copy_r(i - 1, nslot).wait()
+
+        copy_uo(i, slot).wait()
+        copy_r(i, slot).wait()
+
+
+@functools.lru_cache(maxsize=128)
+def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret):
+    total = padded_rows(ny, layout_br)
+    nxp = padded_cols(nx)
+    # the ds kernel keeps ~15 live (E, nxp) f32 planes (5 double-buffered
+    # streams + the ds temporaries); at the smooth kernels' block size that
+    # spills past VMEM, so block at half the LAYOUT br.  The padded total is
+    # unchanged: total - 2*PAD = blocks * layout_br is divisible by br/2.
+    BR = layout_br // 2 if layout_br >= 32 else layout_br
+    n_blocks = (total - 2 * PAD) // BR
+    assert n_blocks * BR == total - 2 * PAD, (total, layout_br, BR)
+    kernel = functools.partial(
+        _defect_kernel,
+        BR=BR, ny=ny, nx=nx, nxp=nxp,
+        inv_h2=inv_h2, c_zero=c_zero, with_update=with_update,
+    )
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((3, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, total, nxp), f32),
+            jax.ShapeDtypeStruct((total, nxp), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, BR + 2 * PAD, nxp), f32),
+            pltpu.VMEM((2, 2, BR, nxp), f32),
+            pltpu.VMEM((2, BR + 2 * PAD, nxp), f32),
+            pltpu.VMEM((2, 2, BR, nxp), f32),
+            pltpu.VMEM((2, BR, nxp), f32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=90 * ny * nx,
+            bytes_accessed=8 * ny * nx * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True):
+    """Fused: u' = u - scale*e (ds), r = A u' - f (ds), sumsq(r_hi).
+
+    u_ds/f_ds: (2, padded_rows, padded_cols) f32 hi/lo stacks.
+    e_rp: row-padded f32 correction (ignored when with_update=False).
+    Returns (u_ds', r32_rp, r_rms) with r_rms = sqrt(sumsq / (nx*ny)).
+    """
+    inv_h2 = 1.0 / (float(h) * float(h))
+    if not _is_pow2(inv_h2):
+        raise ValueError(f"1/h^2 = {inv_h2} must be a power of two (h = 1/2^k)")
+    c_zero = isinstance(c, (int, float)) and float(c) == 0.0
+    call = _build_defect(ny, nx, br, inv_h2, c_zero, with_update, not _on_tpu())
+    # C = 4 + c h^2 split to a ds scalar in f64 at trace time if c is a
+    # Python scalar, else via two f32 rounding steps
+    if isinstance(c, (int, float)):
+        import numpy as np
+
+        C = 4.0 + float(c) * float(h) * float(h)
+        C_hi_py = float(np.float32(C))
+        C_hi = jnp.asarray(C_hi_py, jnp.float32)
+        C_lo = jnp.asarray(C - C_hi_py, jnp.float32)
+    else:
+        C64 = 4.0 + c * (h * h)  # traced; x64 if enabled
+        C_hi = C64.astype(jnp.float32)
+        C_lo = (C64 - C_hi.astype(C64.dtype)).astype(jnp.float32)
+    scal = jnp.stack(
+        [jnp.asarray(scale, jnp.float32), C_hi, C_lo]
+    ).reshape(3, 1)
+    u_out, r32, acc = call(scal, u_ds, f_ds, e_rp)
+    r_rms = jnp.sqrt(acc[0, 0] / (nx * ny))
+    return u_out, r32, r_rms

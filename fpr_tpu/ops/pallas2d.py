@@ -55,13 +55,17 @@ def _on_tpu() -> bool:
 
 def _pick_br(ny: int, nx: int, itemsize: int) -> int:
     """Block rows: multiple of 16 (corr_smooth2_rp needs the coarse windows
-    sublane-aligned and a fixed fine/coarse row parity), sized so ~6
-    buffered blocks fit VMEM, and balanced so the last block isn't mostly
-    padding (e.g. ny=513 with br=512 would process a second, 99%-pad
-    block; balancing gives br=272 with 3% waste)."""
-    budget = 48 * 1024 * 1024
+    sublane-aligned and a fixed fine/coarse row parity), sized so the
+    worst kernel's double-buffered scratch (~8.5 slab-equivalents for
+    smooth2r: 2x u-slab + 2x f-slab + 2x stacked 2-plane result) fits
+    VMEM, and balanced so the last block isn't mostly padding (e.g.
+    ny=513 with br=512 would process a second, 99%-pad block; balancing
+    gives br=272 with 3% waste).  Bigger blocks mean fewer grid steps:
+    the 2D legs pay ~8 us of scalar-core time per DMA start/wait, which
+    is the dominant cost at 4097^2 (measured round 1)."""
+    budget = 88 * 1024 * 1024
     br_max = 512
-    while br_max > 8 and 6 * (br_max + 2 * PAD) * nx * itemsize > budget:
+    while br_max > 8 and 8.5 * (br_max + 2 * PAD) * nx * itemsize > budget:
         br_max //= 2
     br_max = max(16, br_max)
     blocks = -(-ny // br_max)
@@ -286,12 +290,18 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
 def _smooth2r_kernel(
     c_ref, u_hbm, f_hbm, out_hbm,
     slabs, fbufs, results, sem_u, sem_f, sem_out,
-    *, BR, ny, nx, nxp, h, alpha,
+    *, BR, ny, nx, nxp, h, alpha, split_res,
 ):
     """Fused V-cycle downward leg: two chained damped-Jacobi sweeps AND the
     post-pair residual in one HBM pass (one kernel call instead of three —
     the per-call launch and per-DMA scalar overheads dominate these
-    latency-bound 2D passes)."""
+    latency-bound 2D passes).
+
+    split_res: write the residual plane PARITY-SPLIT per block ([even rows;
+    odd rows] instead of interleaved) so injection restriction's row pass
+    happens here for free (a sublane reshape in VMEM) — the consumer then
+    reads only the even half (transfer.restrict_ps), halving restriction
+    traffic and removing one full-array row pass per level."""
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
@@ -365,7 +375,15 @@ def _smooth2r_kernel(
     res = res_of(u2)                # valid rows 3..E-4; block rows are PAD..
 
     results[slot, 0, :, :] = u2[PAD : PAD + BR, :]
-    results[slot, 1, :, :] = res[PAD : PAD + BR, :]
+    res_blk = res[PAD : PAD + BR, :]
+    if split_res:
+        # BR is even, so local row parity == global row parity: the even
+        # half IS the injection-restricted residual for this block's rows
+        pair = res_blk.reshape(BR // 2, 2, nxp)
+        results[slot, 1, : BR // 2, :] = pair[:, 0, :]
+        results[slot, 1, BR // 2 :, :] = pair[:, 1, :]
+    else:
+        results[slot, 1, :, :] = res_blk
     copy_out(i, slot).start()
 
     @pl.when(i == n_blocks - 1)
@@ -378,14 +396,14 @@ def _smooth2r_kernel(
 
 
 @functools.lru_cache(maxsize=256)
-def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret):
+def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
     n_blocks = (total - 2 * PAD) // BR
     kernel = functools.partial(
         _smooth2r_kernel,
-        BR=BR, ny=ny, nx=nx, nxp=nxp, h=h, alpha=alpha,
+        BR=BR, ny=ny, nx=nx, nxp=nxp, h=h, alpha=alpha, split_res=split_res,
     )
     return pl.pallas_call(
         kernel,
@@ -429,6 +447,20 @@ def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
     call = _build_s2r(
         ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
         not _on_tpu(),
+    )
+    c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
+    out = call(c_arr, u_rp, f_rp)
+    return out[0], out[1]
+
+
+def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
+    """smooth2r with the residual plane parity-split per block ([even rows;
+    odd rows]) — the V-cycle fast path.  Returns (u_rp'', res_ps) where
+    res_ps feeds transfer.restrict_ps (the even halves ARE the injected
+    coarse rows, so restriction degenerates to a column pass)."""
+    call = _build_s2r(
+        ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
+        not _on_tpu(), split_res=True,
     )
     c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
     out = call(c_arr, u_rp, f_rp)

@@ -81,6 +81,31 @@ def restrict_rp(
     return restrict(res_rp[PAD : PAD + ny, :nx], apply_bcs=apply_bcs)
 
 
+def restrict_ps(
+    res_ps: jnp.ndarray, ny: int, nx: int, br: int, apply_bcs: bool = False
+) -> jnp.ndarray:
+    """Injection restriction from a PARITY-SPLIT residual plane (the
+    smooth2r_split_rp output: per block of br rows, [even rows; odd rows])
+    to a physical coarse array.  The row pass already happened in-kernel;
+    this is only the column pass + boundary handling.
+    """
+    from fpr_tpu.ops.pallas2d import PAD
+
+    nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
+    nxp = res_ps.shape[1]
+    n_blocks = (res_ps.shape[0] - 2 * PAD) // br
+    even = (
+        res_ps[PAD : PAD + n_blocks * br]
+        .reshape(n_blocks, br, nxp)[:, : br // 2]
+        .reshape(n_blocks * (br // 2), nxp)
+    )
+    coarse = even[:nyc, :nx][:, ::2]
+    coarse = bc.zero_boundary_2d(coarse)
+    if apply_bcs:
+        coarse = bc.neumann_left_right(coarse)
+    return coarse
+
+
 def prolongate_rp(
     coarse: jnp.ndarray,
     fine_shape: tuple[int, int],

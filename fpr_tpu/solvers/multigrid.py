@@ -229,16 +229,23 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     br = pallas2d._pick_br(ny, nx, jnp.dtype(u_rp.dtype).itemsize)
     alpha = cfg.jacobi_damping
 
-    if cfg.pre_smooth == 2:
-        # fused downward leg: both pre-smooths AND the residual in one pass
-        u_rp, res_rp = pallas2d.smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha)
+    if cfg.resolved_restriction() is not Restriction.FULL_WEIGHTING and cfg.pre_smooth == 2:
+        # fused downward leg: both pre-smooths, the residual, AND the
+        # restriction row pass in one HBM pass (parity-split output)
+        u_rp, res_ps = pallas2d.smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha)
+        res_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=apply_bcs)
     else:
         for _ in range(cfg.pre_smooth):
             u_rp, _ = pallas2d.smooth_rp(
                 u_rp, f_rp, ny, nx, br, h, c, alpha, with_norm=False
             )
         res_rp = pallas2d.residual_rp(u_rp, f_rp, ny, nx, br, h, c)
-    res_c = transfer.restrict_rp(res_rp, ny, nx, apply_bcs=apply_bcs)
+        if cfg.resolved_restriction() is Restriction.FULL_WEIGHTING:
+            res_c = transfer.restrict_full_weighting(
+                pallas2d.unpad2d(res_rp, ny, nx), apply_bcs=apply_bcs
+            )
+        else:
+            res_c = transfer.restrict_rp(res_rp, ny, nx, apply_bcs=apply_bcs)
 
     nyc, nxc = res_c.shape
     brc = pallas2d._pick_br(nyc, nxc, jnp.dtype(u_rp.dtype).itemsize)
@@ -399,4 +406,112 @@ def mg_solve_mixed_jit(
     return mg_solve_mixed(
         u0, f, h, c, tol, niters,
         apply_bcs=apply_bcs, cfg=cfg, inner_cycles=inner_cycles,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Double-single defect correction: the all-f32 outer loop (no emulated f64
+# in the iteration at all — see fpr_tpu.ops.ds)
+# ---------------------------------------------------------------------------
+
+
+def mg_solve_ds(
+    u0,
+    f,
+    h: float,
+    c,
+    tol: float,
+    niters: int,
+    cfg: MGConfig = MGConfig(),
+    inner_cycles: int = 2,
+    return_pair: bool = False,
+):
+    """Defect-correction MG with the double-single fused outer kernel.
+
+    Same contract as ``mg_solve_mixed`` (without apply_bcs — the NS
+    temperature solve keeps the mixed path), but the outer iteration is a
+    single Pallas pass (fpr_tpu.ops.ds.defect_pass) instead of an
+    XLA-emulated-f64 residual + rms + axpy + cast chain: u and f live as
+    hi/lo f32 pairs (~48 mantissa bits), the defect norm is TRUE (computed
+    on the just-corrected iterate, not an estimate), and the f32 V-cycles
+    consume the kernel's row-padded rhs directly.
+
+    Pass u0=None for a zero initial guess: the entry conversion of u0 and
+    the initial defect pass are then skipped entirely (r0 = -f, the norm is
+    rms(f)) — the common case for MG benchmarks and the NS stream-function
+    solve's cold start.  Returns (u, r_rms, outer_iterations) in f's dtype.
+    """
+    from fpr_tpu.ops import ds as dsm
+    from fpr_tpu.ops import pallas2d
+
+    ny, nx = f.shape
+    br = pallas2d._pick_br(ny, nx, 4)
+    total = pallas2d.padded_rows(ny, br)
+    nxp = pallas2d.padded_cols(nx)
+
+    def pack(a):
+        hi, lo = dsm.to_ds(a) if a.dtype == jnp.float64 else (
+            a.astype(jnp.float32), jnp.zeros(a.shape, jnp.float32)
+        )
+        return jnp.stack([pallas2d.pad2d(hi, br), pallas2d.pad2d(lo, br)])
+
+    f_ds = pack(f)
+    f_rms = stencil2d.rms(f)
+    tolf = jnp.asarray(tol * f_rms, jnp.float32)
+
+    zero_e = jnp.zeros((total, nxp), jnp.float32)
+    if u0 is None:
+        # zero initial guess: r = A*0 - f = -f, no kernel pass needed
+        u_ds = jnp.zeros_like(f_ds)
+        r32 = -f_ds[0]
+        r_rms = f_rms.astype(jnp.float32)
+    else:
+        u_ds = pack(u0)
+        # initial defect (scale = 0: the Dekker product with 0 is exactly 0)
+        u_ds, r32, r_rms = dsm.defect_pass(
+            u_ds, f_ds, zero_e, 0.0, ny, nx, br, h, c
+        )
+
+    def cond(carry):
+        _, _, r_rms, it = carry
+        return jnp.logical_and(it < niters, r_rms >= tolf)
+
+    def body(carry):
+        u_ds, r32, _, it = carry
+        e_rp = zero_e
+        for _ in range(inner_cycles):
+            e_rp, _ = vcycle_rp(e_rp, r32, ny, nx, h, c, tol, cfg)
+        u_ds, r32, r_rms = dsm.defect_pass(
+            u_ds, f_ds, e_rp, 1.0, ny, nx, br, h, c
+        )
+        return u_ds, r32, r_rms, it + 1
+
+    u_ds, _, r_rms, it = jax.lax.while_loop(
+        cond, body, (u_ds, r32, r_rms, jnp.asarray(0, jnp.int32))
+    )
+    if return_pair:
+        # skip the emulated-f64 exit combine (26 ms at 4097^2): the hi/lo
+        # pair IS the framework's native ~48-bit result representation
+        hi = pallas2d.unpad2d(u_ds[0], ny, nx)
+        lo = pallas2d.unpad2d(u_ds[1], ny, nx)
+        return (hi, lo), r_rms, it
+    u = dsm.from_ds(
+        pallas2d.unpad2d(u_ds[0], ny, nx),
+        pallas2d.unpad2d(u_ds[1], ny, nx),
+        dtype=f.dtype,
+    )
+    return u, r_rms.astype(f.dtype), it
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "tol", "niters", "cfg", "inner_cycles", "return_pair"),
+)
+def mg_solve_ds_jit(
+    f, h, c, tol, niters, cfg=MGConfig(), inner_cycles=2, return_pair=False
+):
+    """Jitted zero-initial-guess mg_solve_ds (the benchmark entry point)."""
+    return mg_solve_ds(
+        None, f, h, c, tol, niters,
+        cfg=cfg, inner_cycles=inner_cycles, return_pair=return_pair,
     )

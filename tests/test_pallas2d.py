@@ -74,6 +74,17 @@ def test_fused_legs_match_composition(rng):
             np.asarray(pallas2d.unpad2d(res2, ny, nx)), atol=1e-14,
         )
 
+        # parity-split variant: same u'', and restrict_ps == restrict(res)
+        v2s, res_ps = pallas2d.smooth2r_split_rp(u, f, ny, nx, br, h, c)
+        np.testing.assert_array_equal(np.asarray(v2s), np.asarray(v2r))
+        got_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=bcs)
+        ref_c = transfer.restrict(
+            pallas2d.unpad2d(res2, ny, nx), apply_bcs=bcs
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(ref_c), atol=1e-14
+        )
+
         corr_f = transfer.prolongate_rp(corr, (ny, nx), u.shape, apply_bcs=bcs)
         u_ref, r_ref = pallas2d.smooth2_rp(
             u - corr_f, f, ny, nx, br, h, c, with_norm=True
