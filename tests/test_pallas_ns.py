@@ -1,0 +1,104 @@
+"""Fused NS operator kernel parity vs the jnp tier (interpret mode, f64).
+
+The kernel must reproduce, bit-near-exactly, the jnp composition used by
+ns_step (fpr_tpu/models/navier_stokes.py): BCs on T, velocity from S,
+buoyancy, diffusion, upwind advection, and the explicit update or the
+semi-implicit rhs build (reference part2.jl:90-137, 199-230).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpr_tpu.core import bc
+from fpr_tpu.ops import pallas2d, pallas_ns
+from fpr_tpu.ops import stencil2d as ops
+
+
+def _jnp_reference(T, W, S, h, Pr, Ra, k, beta, dt, mode, cT=None, cW=None):
+    """The exact jnp-tier composition from ns_step."""
+    T = bc.ns_temperature_bcs(T)
+    vx, vy = ops.velocity(S, h, h)
+    Ra_dTdx = ops.buoyancy(T, Ra, h)
+    if abs(beta - 1.0) > 1e-8:
+        dT2 = ops.diffusion(T, k, h, h)
+        dW2 = ops.diffusion(W, Pr, h, h)
+    else:
+        dT2 = jnp.zeros_like(T)
+        dW2 = jnp.zeros_like(W)
+    dTx = ops.advection_x(T, vx, h)
+    dTy = ops.advection_y(T, vy, h)
+    dWx = ops.advection_x(W, vx, h)
+    dWy = ops.advection_y(W, vy, h)
+    if mode == "explicit":
+        T_out = T + dt * (dT2 - dTx - dTy)
+        W_out = W + dt * (dW2 - dWx - dWy - Pr * Ra_dTdx)
+    else:
+        T_out = -cT * (T + dt * ((1.0 - beta) * dT2 - dTx - dTy))
+        W_out = -cW * (W + dt * ((1.0 - beta) * dW2 - dWx - dWy - Pr * Ra_dTdx))
+    return T_out, W_out
+
+
+@pytest.mark.parametrize("shape", [(17, 33), (65, 257), (129, 129)])
+@pytest.mark.parametrize(
+    "mode,beta", [("explicit", 0.0), ("rhs", 0.5), ("rhs", 1.0)]
+)
+def test_fused_matches_jnp(rng, shape, mode, beta):
+    ny, nx = shape
+    h = 1.0 / (ny - 1)
+    Pr, Ra, k = 0.01, 1e6, 1.0
+    dt = 3.7e-6
+    cT = 1.0 / (beta * dt) if beta > 0 else None
+    cW = cT / Pr if beta > 0 else None
+
+    T = jnp.asarray(rng.random(shape))
+    W = jnp.asarray(rng.random(shape) * 100.0)
+    S = jnp.asarray(rng.random(shape) * 1e-3)
+
+    T_ref, W_ref = _jnp_reference(T, W, S, h, Pr, Ra, k, beta, dt, mode, cT, cW)
+
+    br = pallas2d._pick_br(ny, nx, 8)
+    tw = jnp.stack([pallas2d.pad2d(T, br), pallas2d.pad2d(W, br)])
+    s_rp = pallas2d.pad2d(S, br)
+    out = pallas_ns.ns_fused_rp(
+        tw, s_rp, dt, ny, nx, br, h, Pr, Ra, k=k, beta=beta, mode=mode,
+        cT=cT, cW=cW,
+    )
+    T_got = np.asarray(pallas2d.unpad2d(out[0], ny, nx))
+    W_got = np.asarray(pallas2d.unpad2d(out[1], ny, nx))
+
+    scale = 1.0 / h**2 * max(Ra, 1.0 / dt if mode == "rhs" else 1.0)
+    np.testing.assert_allclose(T_got, np.asarray(T_ref), atol=1e-13 * scale, rtol=1e-12)
+    np.testing.assert_allclose(W_got, np.asarray(W_ref), atol=1e-13 * scale, rtol=1e-12)
+
+    # within the written block rows, everything outside the physical domain
+    # must be zero (the top/bottom PAD rows are never DMA'd and stay
+    # unspecified, like every other rp kernel — consumers slice or mask)
+    total, nxp = out[0].shape
+    written = np.zeros((total, nxp), bool)
+    written[pallas2d.PAD : total - pallas2d.PAD, :] = True
+    written[pallas2d.PAD : pallas2d.PAD + ny, :nx] = False
+    assert np.all(np.asarray(out[0])[written] == 0.0)
+    assert np.all(np.asarray(out[1])[written] == 0.0)
+
+
+def test_fused_f32_runs(rng):
+    # the TPU production dtype path (still interpret mode on CPU)
+    ny, nx = 33, 129
+    h = 1.0 / (ny - 1)
+    T = jnp.asarray(rng.random((ny, nx)), jnp.float32)
+    W = jnp.asarray(rng.random((ny, nx)), jnp.float32)
+    S = jnp.asarray(rng.random((ny, nx)), jnp.float32)
+    br = pallas2d._pick_br(ny, nx, 4)
+    tw = jnp.stack([pallas2d.pad2d(T, br), pallas2d.pad2d(W, br)])
+    out = pallas_ns.ns_fused_rp(
+        tw, pallas2d.pad2d(S, br), 1e-5, ny, nx, br, h, 0.1, 1e6
+    )
+    T_ref, W_ref = _jnp_reference(
+        T.astype(jnp.float64), W.astype(jnp.float64), S.astype(jnp.float64),
+        h, 0.1, 1e6, 1.0, 0.0, 1e-5, "explicit",
+    )
+    np.testing.assert_allclose(
+        np.asarray(pallas2d.unpad2d(out[0], ny, nx)), np.asarray(T_ref),
+        rtol=2e-4, atol=2e-3,
+    )
