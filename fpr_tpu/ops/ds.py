@@ -139,12 +139,19 @@ def _is_pow2(x: float) -> bool:
 def _defect_kernel(
     scal_ref, u_hbm, f_hbm, e_hbm, uout_hbm, r32_hbm, acc_ref,
     uslabs, fbufs, ebufs, ures, rres, sem_u, sem_f, sem_e, sem_uo, sem_r,
-    *, BR, ny, nx, nxp, inv_h2, c_zero, with_update,
+    *, BR, ny, nx, nxp, inv_h2, c_zero, with_update, apply_bcs, f_single,
 ):
     """One grid step: ds update + ds residual + norm on a BR-row block.
 
     scal_ref (SMEM, (3, 1)): [scale, C_hi, C_lo].
-    u_hbm/f_hbm: (2, total, nxp) hi/lo planes.  e_hbm: (total, nxp) f32.
+    u_hbm: (2, total, nxp) hi/lo planes.  f_hbm: (2, total, nxp) hi/lo, or
+    (1, total, nxp) when f_single (an exactly-f32 rhs, e.g. the NS rhs
+    builds — skips the lo plane's traffic and arithmetic).
+    e_hbm: (total, nxp) f32.
+    apply_bcs: apply the NS temperature BCs (Dirichlet bottom/top, Neumann
+    sides, Neumann winning at corners — part2_utils.jl:22-25) to u after
+    the correction and before the residual, mirroring mg_solve_mixed's
+    per-outer-iteration BC application.
     inv_h2 must be an exact power of two (asserted by the builder) so the
     1/h^2 scaling is exact in both components.
     """
@@ -165,6 +172,7 @@ def _defect_kernel(
 
     def copy_f(block, s):
         block, s = _i32(block), _i32(s)
+        # f_hbm is (1, total, nxp) when f_single, (2, total, nxp) otherwise
         return pltpu.make_async_copy(
             f_hbm.at[:, pl.ds(block * BR + PAD, BR), :], fbufs.at[s], sem_f.at[s]
         )
@@ -221,6 +229,27 @@ def _defect_kernel(
         ph, pe = two_prod(ebufs[slot, :, :], scale)
         uh, ul = ds_add(uh, ul, -ph, -pe)
 
+    if apply_bcs:
+        # NS temperature BCs on the whole extended window, hi and lo planes
+        # (Dirichlet rows first, Neumann column copies second)
+        E_ = BR + 2 * PAD
+        gye = i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E_, nxp), 0)
+        gxe = jax.lax.broadcasted_iota(jnp.int32, (E_, nxp), 1)
+        onef = jnp.asarray(1.0, jnp.float32)
+        zerof = jnp.asarray(0.0, jnp.float32)
+        drow = (gye == 0) | (gye == ny - 1)
+        uh = jnp.where(gye == 0, onef, jnp.where(gye == ny - 1, zerof, uh))
+        ul = jnp.where(drow, zerof, ul)
+
+        def _rt(v):
+            return jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
+
+        def _lf(v):
+            return jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)
+
+        uh = jnp.where(gxe == 0, _rt(uh), jnp.where(gxe == nx - 1, _lf(uh), uh))
+        ul = jnp.where(gxe == 0, _rt(ul), jnp.where(gxe == nx - 1, _lf(ul), ul))
+
     # --- ds 5-point residual ---
     def sh_up(v):
         return jnp.concatenate([v[:1, :], v[:-1, :]], axis=0)
@@ -259,7 +288,10 @@ def _defect_kernel(
     # the final renormalization's lo output
     blk = slice(PAD, PAD + BR)
     rs, re = two_sum(th[blk, :], -fbufs[slot, 0, :, :])
-    r = rs + (re + (tl[blk, :] - fbufs[slot, 1, :, :]))
+    if f_single:
+        r = rs + (re + tl[blk, :])
+    else:
+        r = rs + (re + (tl[blk, :] - fbufs[slot, 1, :, :]))
 
     gy = i * BR + jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 1)
@@ -291,7 +323,8 @@ def _defect_kernel(
 
 
 @functools.lru_cache(maxsize=128)
-def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret):
+def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
+                  apply_bcs=False, f_single=False):
     total = padded_rows(ny, layout_br)
     nxp = padded_cols(nx)
     # the ds kernel keeps ~15 live (E, nxp) f32 planes (5 double-buffered
@@ -305,15 +338,17 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret):
         _defect_kernel,
         BR=BR, ny=ny, nx=nx, nxp=nxp,
         inv_h2=inv_h2, c_zero=c_zero, with_update=with_update,
+        apply_bcs=apply_bcs, f_single=f_single,
     )
     f32 = jnp.float32
+    fplanes = 1 if f_single else 2
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((3, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((fplanes, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
         ],
         out_specs=[
@@ -328,7 +363,7 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 2, BR + 2 * PAD, nxp), f32),
-            pltpu.VMEM((2, 2, BR, nxp), f32),
+            pltpu.VMEM((2, fplanes, BR, nxp), f32),
             pltpu.VMEM((2, BR + 2 * PAD, nxp), f32),
             pltpu.VMEM((2, 2, BR, nxp), f32),
             pltpu.VMEM((2, BR, nxp), f32),
@@ -350,20 +385,29 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret):
     )
 
 
-def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True):
-    """Fused: u' = u - scale*e (ds), r = A u' - f (ds), sumsq(r_hi).
+def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
+                apply_bcs=False, f_single=False):
+    """Fused: u' = u - scale*e (ds), [BCs(u')], r = A u' - f (ds), sumsq(r_hi).
 
-    u_ds/f_ds: (2, padded_rows, padded_cols) f32 hi/lo stacks.
+    u_ds: (2, padded_rows, padded_cols) f32 hi/lo stack; f_ds likewise, or
+    (1, padded_rows, padded_cols) with f_single (exactly-f32 rhs).
     e_rp: row-padded f32 correction (ignored when with_update=False).
+    apply_bcs: NS temperature BCs applied to u' before the residual.
     Returns (u_ds', r32_rp, r_rms) with r_rms = sqrt(sumsq / (nx*ny)).
     """
     inv_h2 = 1.0 / (float(h) * float(h))
     if not _is_pow2(inv_h2):
         raise ValueError(f"1/h^2 = {inv_h2} must be a power of two (h = 1/2^k)")
     c_zero = isinstance(c, (int, float)) and float(c) == 0.0
-    call = _build_defect(ny, nx, br, inv_h2, c_zero, with_update, not _on_tpu())
-    # C = 4 + c h^2 split to a ds scalar in f64 at trace time if c is a
-    # Python scalar, else via two f32 rounding steps
+    call = _build_defect(
+        ny, nx, br, inv_h2, c_zero, with_update, not _on_tpu(),
+        apply_bcs=bool(apply_bcs), f_single=bool(f_single),
+    )
+    # C = 4 + c h^2 split to a ds scalar: in f64 at trace time if c is a
+    # Python scalar; via f64 rounding if c is a traced f64; via error-free
+    # transformations if c is a traced f32 (the TPU runtime-scalar path —
+    # h^2 = 2^-2k is exact in f32, so two_prod/two_sum keep all ~48 bits
+    # of C, which the residual's C*u term needs to stay below tol)
     if isinstance(c, (int, float)):
         import numpy as np
 
@@ -371,6 +415,11 @@ def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True):
         C_hi_py = float(np.float32(C))
         C_hi = jnp.asarray(C_hi_py, jnp.float32)
         C_lo = jnp.asarray(C - C_hi_py, jnp.float32)
+    elif c.dtype == jnp.float32:
+        h2 = jnp.asarray(float(h) * float(h), jnp.float32)
+        p, pe = two_prod(c, h2)
+        s, se = two_sum(jnp.asarray(4.0, jnp.float32), p)
+        C_hi, C_lo = quick_two_sum(s, se + pe)
     else:
         C64 = 4.0 + c * (h * h)  # traced; x64 if enabled
         C_hi = C64.astype(jnp.float32)

@@ -415,6 +415,83 @@ def mg_solve_mixed_jit(
 # ---------------------------------------------------------------------------
 
 
+def mg_solve_ds_rp(
+    u_ds,
+    f_ds,
+    tolf,
+    ny: int,
+    nx: int,
+    h: float,
+    c,
+    niters: int,
+    cfg: MGConfig = MGConfig(),
+    inner_cycles: int = 2,
+    apply_bcs: bool = False,
+    r0=None,
+    tol: float = 1e-7,
+):
+    """Row-padded core of the double-single defect-correction solver.
+
+    Operates entirely in rp space so a caller iterating many solves (the NS
+    time loop) never pays pad/unpad/pack passes:
+
+    - u_ds: (2, total, nxp) f32 hi/lo stack, or None for a zero guess.
+    - f_ds: (2, total, nxp) hi/lo stack, or (1, total, nxp) for an
+      exactly-f32 rhs (halves the kernel's f traffic).
+    - tolf: absolute tolerance on rms(r) (caller computes tol * rms(f)).
+    - c may be a traced f32 scalar (the NS Helmholtz shifts 1/(beta dt)).
+    - apply_bcs: NS temperature BCs applied to u inside the defect kernel
+      each outer iteration (and through the V-cycle transfers), mirroring
+      mg_solve_mixed's per-iteration BC application (multigrid.jl:60-62).
+    - r0: optionally, a precomputed initial defect (r32_rp, r_rms) — e.g.
+      -f for a zero guess without BCs.
+
+    Returns (u_ds', r_rms, outer_iterations).
+    """
+    from fpr_tpu.ops import ds as dsm
+    from fpr_tpu.ops import pallas2d
+
+    br = pallas2d._pick_br(ny, nx, 4)
+    total = pallas2d.padded_rows(ny, br)
+    nxp = pallas2d.padded_cols(nx)
+    f_single = f_ds.shape[0] == 1
+    tolf = jnp.asarray(tolf, jnp.float32)
+
+    zero_e = jnp.zeros((total, nxp), jnp.float32)
+    if u_ds is None:
+        u_ds = jnp.zeros((2, total, nxp), jnp.float32)
+    if r0 is not None:
+        r32, r_rms = r0
+    else:
+        # initial defect (scale = 0: the Dekker product with 0 is exactly 0)
+        u_ds, r32, r_rms = dsm.defect_pass(
+            u_ds, f_ds, zero_e, 0.0, ny, nx, br, h, c,
+            apply_bcs=apply_bcs, f_single=f_single,
+        )
+
+    def cond(carry):
+        _, _, r_rms, it = carry
+        return jnp.logical_and(it < niters, r_rms >= tolf)
+
+    def body(carry):
+        u_ds, r32, _, it = carry
+        e_rp = zero_e
+        for _ in range(inner_cycles):
+            e_rp, _ = vcycle_rp(
+                e_rp, r32, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs
+            )
+        u_ds, r32, r_rms = dsm.defect_pass(
+            u_ds, f_ds, e_rp, 1.0, ny, nx, br, h, c,
+            apply_bcs=apply_bcs, f_single=f_single,
+        )
+        return u_ds, r32, r_rms, it + 1
+
+    u_ds, _, r_rms, it = jax.lax.while_loop(
+        cond, body, (u_ds, r32, r_rms, jnp.asarray(0, jnp.int32))
+    )
+    return u_ds, r_rms, it
+
+
 def mg_solve_ds(
     u0,
     f,
@@ -425,11 +502,11 @@ def mg_solve_ds(
     cfg: MGConfig = MGConfig(),
     inner_cycles: int = 2,
     return_pair: bool = False,
+    apply_bcs: bool = False,
 ):
     """Defect-correction MG with the double-single fused outer kernel.
 
-    Same contract as ``mg_solve_mixed`` (without apply_bcs — the NS
-    temperature solve keeps the mixed path), but the outer iteration is a
+    Same contract as ``mg_solve_mixed``, but the outer iteration is a
     single Pallas pass (fpr_tpu.ops.ds.defect_pass) instead of an
     XLA-emulated-f64 residual + rms + axpy + cast chain: u and f live as
     hi/lo f32 pairs (~48 mantissa bits), the defect norm is TRUE (computed
@@ -446,8 +523,6 @@ def mg_solve_ds(
 
     ny, nx = f.shape
     br = pallas2d._pick_br(ny, nx, 4)
-    total = pallas2d.padded_rows(ny, br)
-    nxp = pallas2d.padded_cols(nx)
 
     def pack(a):
         hi, lo = dsm.to_ds(a) if a.dtype == jnp.float64 else (
@@ -459,35 +534,17 @@ def mg_solve_ds(
     f_rms = stencil2d.rms(f)
     tolf = jnp.asarray(tol * f_rms, jnp.float32)
 
-    zero_e = jnp.zeros((total, nxp), jnp.float32)
-    if u0 is None:
+    if u0 is None and not apply_bcs:
         # zero initial guess: r = A*0 - f = -f, no kernel pass needed
-        u_ds = jnp.zeros_like(f_ds)
-        r32 = -f_ds[0]
-        r_rms = f_rms.astype(jnp.float32)
+        u_ds = None
+        r0 = (-f_ds[0], f_rms.astype(jnp.float32))
     else:
-        u_ds = pack(u0)
-        # initial defect (scale = 0: the Dekker product with 0 is exactly 0)
-        u_ds, r32, r_rms = dsm.defect_pass(
-            u_ds, f_ds, zero_e, 0.0, ny, nx, br, h, c
-        )
+        u_ds = pack(u0) if u0 is not None else None
+        r0 = None
 
-    def cond(carry):
-        _, _, r_rms, it = carry
-        return jnp.logical_and(it < niters, r_rms >= tolf)
-
-    def body(carry):
-        u_ds, r32, _, it = carry
-        e_rp = zero_e
-        for _ in range(inner_cycles):
-            e_rp, _ = vcycle_rp(e_rp, r32, ny, nx, h, c, tol, cfg)
-        u_ds, r32, r_rms = dsm.defect_pass(
-            u_ds, f_ds, e_rp, 1.0, ny, nx, br, h, c
-        )
-        return u_ds, r32, r_rms, it + 1
-
-    u_ds, _, r_rms, it = jax.lax.while_loop(
-        cond, body, (u_ds, r32, r_rms, jnp.asarray(0, jnp.int32))
+    u_ds, r_rms, it = mg_solve_ds_rp(
+        u_ds, f_ds, tolf, ny, nx, h, c, niters,
+        cfg=cfg, inner_cycles=inner_cycles, apply_bcs=apply_bcs, r0=r0, tol=tol,
     )
     if return_pair:
         # skip the emulated-f64 exit combine (26 ms at 4097^2): the hi/lo

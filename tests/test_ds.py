@@ -136,3 +136,76 @@ def test_mg_solve_ds_converges(rng, monkeypatch):
     u2, r2, it2 = multigrid.mg_solve_ds(None, bj, h, 0.0, 1e-8, 40)
     assert int(it2) == int(it)
     np.testing.assert_array_equal(np.asarray(u2), np.asarray(u))
+
+
+def test_mg_solve_ds_with_bcs_matches_mixed(rng, monkeypatch):
+    """apply_bcs path (in-kernel NS temperature BCs) converges to the same
+    BC-constrained solution as mg_solve_mixed — the NS T-solve shape."""
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
+    ny, nx = 65, 257
+    h = 1.0 / (ny - 1)
+    # the NS semi-implicit regime: c = 1/(beta dt) is large, so the
+    # Helmholtz solve is strongly diagonally dominant (mild shifts excite a
+    # slowly-converging Neumann-column boundary mode in BOTH the mixed and
+    # ds defect loops — same trajectory, an inherited property of the
+    # reference's Dirichlet-correction V-cycle, not a ds defect)
+    c = 2.0e4
+    b = jnp.asarray(rng.random((ny, nx)) * c)
+    u0 = jnp.asarray(rng.random((ny, nx)))
+    u_ref, r_ref, _ = multigrid.mg_solve_mixed(
+        u0, b, h, c, 1e-8, 40, apply_bcs=True
+    )
+    u_ds, r_ds, it = multigrid.mg_solve_ds(
+        u0, b, h, c, 1e-8, 40, apply_bcs=True
+    )
+    f_rms = float(jnp.sqrt(jnp.mean(b * b)))
+    assert float(r_ds) < 1e-8 * f_rms
+    np.testing.assert_allclose(np.asarray(u_ds), np.asarray(u_ref), atol=1e-6)
+    # the BCs really are enforced on the returned iterate
+    got = np.asarray(u_ds)
+    np.testing.assert_allclose(got[0, 1:-1], 1.0, atol=1e-12)
+    np.testing.assert_allclose(got[-1, 1:-1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(got[:, 0], got[:, 1], atol=1e-12)
+    np.testing.assert_allclose(got[:, -1], got[:, -2], atol=1e-12)
+
+
+def test_mg_solve_ds_traced_c_and_f_single(rng, monkeypatch):
+    """Runtime f32 Helmholtz shift (the NS c = 1/(beta dt) path) + the
+    single-plane rhs: must converge to the Python-scalar-c, two-plane
+    answer."""
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
+    ny, nx = 129, 129
+    h = 1.0 / (ny - 1)
+    c = 37.5  # exactly representable in f32: traced and static agree
+    b32 = jnp.asarray(rng.random((ny, nx)), jnp.float32)
+    b = b32.astype(jnp.float64)
+
+    u_ref, r_ref, it_ref = multigrid.mg_solve_ds(None, b, h, c, 1e-7, 40)
+
+    from fpr_tpu.ops import pallas2d
+
+    br = pallas2d._pick_br(ny, nx, 4)
+    f_ds = pallas2d.pad2d(b32, br)[None]  # (1, total, nxp) single-plane rhs
+    f_rms = float(jnp.sqrt(jnp.mean(b * b)))
+    u_ds, r_rms, it = multigrid.mg_solve_ds_rp(
+        None, f_ds, 1e-7 * f_rms, ny, nx, h,
+        jnp.asarray(c, jnp.float32), 40,
+    )
+    assert float(r_rms) < 1e-7 * f_rms
+    got = np.asarray(
+        pallas2d.unpad2d(u_ds[0], ny, nx), np.float64
+    ) + np.asarray(pallas2d.unpad2d(u_ds[1], ny, nx), np.float64)
+    np.testing.assert_allclose(got, np.asarray(u_ref), atol=2e-7 * f_rms)
+
+
+def test_mg_solve_ds_warm_start(rng, monkeypatch):
+    """Warm-starting from a converged iterate must exit immediately-ish and
+    keep the solution (the NS stream-function solve pattern)."""
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
+    n = 129
+    h = 1.0 / (n - 1)
+    b = jnp.asarray(rng.random((n, n)))
+    u1, r1, it1 = multigrid.mg_solve_ds(None, b, h, 0.0, 1e-7, 40)
+    u2, r2, it2 = multigrid.mg_solve_ds(u1, b, h, 0.0, 1e-7, 40)
+    assert int(it2) == 0  # already below tolerance: no outer iterations
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-12)
