@@ -40,7 +40,7 @@ import numpy as np
 from fpr_tpu.core import bc
 from fpr_tpu.core.config import InitScheme, NSConfig
 from fpr_tpu.ops import stencil2d as ops
-from fpr_tpu.solvers.multigrid import mg_solve, mg_solve_mixed
+from fpr_tpu.solvers.multigrid import mg_solve, mg_solve_ds_rp, mg_solve_mixed
 
 
 @dataclasses.dataclass
@@ -196,4 +196,181 @@ def simulate(
         steps=step,
         sim_time=sim_time,
         snapshots=snapshots,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused fast path: the whole simulation as ONE on-device while_loop
+# ---------------------------------------------------------------------------
+#
+# The host loop above syncs once per step (the adaptive-dt scalar) and pays
+# the per-jit-call dispatch overhead 8k+ times on the explicit path.  The
+# fast path keeps EVERYTHING on device:
+#
+# - state lives row-padded: T/W stacked f32 (the fused operator kernel's
+#   native format, fpr_tpu.ops.pallas_ns), S as a double-single hi/lo pair
+#   (warm start + ~48-bit residual evaluation for the per-step multigrid
+#   solve — plain f32 cannot reach tol*rms(W) on fine grids);
+# - every linear solve is mg_solve_ds_rp (fused ds defect passes around f32
+#   Pallas V-cycles), warm-started from the previous field;
+# - sim_time accumulates in double-single so 10^4-10^5 f32 dt additions
+#   cannot drift the step count;
+# - the reference's per-step host work (compute_dt device->host maxima,
+#   part2.jl:196) becomes an on-device reduction feeding the SMEM dt scalar.
+#
+# One jitted function runs the loop up to a traced step limit, so warmup
+# separation (steps 1-3 excluded from timing, part2.jl:182-184) reuses the
+# same executable.
+
+
+def _f32_pair(x: float):
+    """Split a Python float into (hi, lo) f32 constants (ds scalar)."""
+    hi = float(np.float32(x))
+    return hi, float(np.float32(x - hi))
+
+
+def _rms_phys(a_rp, ny, nx):
+    """rms over the physical (ny, nx) window of a row-padded plane (pad rows
+    and columns are excluded — kernels leave them unspecified)."""
+    from fpr_tpu.ops.pallas2d import PAD
+
+    w = a_rp[PAD : PAD + ny, :nx]
+    return jnp.sqrt(jnp.sum(w * w) / (nx * ny))
+
+
+def _fast_step(TW, S_ds, cfg: NSConfig, br):
+    """One fused NS step on row-padded f32 state.  Returns (TW', S_ds', dt)."""
+    from fpr_tpu.ops import pallas_ns
+    from fpr_tpu.ops.pallas2d import PAD
+
+    ny, nx, h = cfg.ny, cfg.nx, cfg.h
+    f32 = jnp.float32
+
+    # 1. streamfunction solve  nabla^2 S = W (part2.jl:187), warm-started
+    tolf = cfg.tol * _rms_phys(TW[1], ny, nx)
+    S_ds, _, _ = mg_solve_ds_rp(
+        S_ds, TW[1:2], tolf, ny, nx, h, 0.0, cfg.niters,
+        cfg=cfg.mg, inner_cycles=1, tol=cfg.tol,
+    )
+
+    # 2.-3. velocity maxima -> adaptive dt (part2.jl:76-87, on device)
+    s = S_ds[0, PAD : PAD + ny, :nx]
+    inv2h = jnp.asarray(0.5 / h, f32)
+    ax = jnp.max(jnp.abs((s[2:, 1:-1] - s[:-2, 1:-1]) * inv2h))
+    ay = jnp.max(jnp.abs((s[1:-1, 2:] - s[1:-1, :-2]) * inv2h))
+    dt_adv = jnp.asarray(cfg.a_adv, f32) * jnp.minimum(h / ax, h / ay)
+    if cfg.beta >= 0.5:
+        dt = dt_adv
+    else:
+        dt = jnp.minimum(jnp.asarray(cfg.dt_dif, f32), dt_adv)
+    dt = jnp.where((ax == 0.0) & (ay == 0.0), jnp.asarray(cfg.dt_dif, f32), dt)
+
+    # 4.-8. fused operator pass + (semi-implicit) Helmholtz solves
+    if _semi_implicit(cfg.beta):
+        cT = 1.0 / (jnp.asarray(cfg.beta, f32) * dt)
+        cW = cT / jnp.asarray(cfg.Pr, f32)
+        rhs = pallas_ns.ns_fused_rp(
+            TW, S_ds[0], dt, ny, nx, br, h, cfg.Pr, cfg.Ra,
+            k=cfg.k, beta=cfg.beta, mode="rhs", cT=cT, cW=cW,
+        )
+        zeros = jnp.zeros_like(TW[0])
+        tolT = cfg.tol * _rms_phys(rhs[0], ny, nx)
+        T_ds, _, _ = mg_solve_ds_rp(
+            jnp.stack([TW[0], zeros]), rhs[0:1], tolT, ny, nx, h, cT,
+            cfg.niters, cfg=cfg.mg, inner_cycles=1, apply_bcs=True,
+            tol=cfg.tol,
+        )
+        tolW = cfg.tol * _rms_phys(rhs[1], ny, nx)
+        W_ds, _, _ = mg_solve_ds_rp(
+            jnp.stack([TW[1], zeros]), rhs[1:2], tolW, ny, nx, h, cW,
+            cfg.niters, cfg=cfg.mg, inner_cycles=1, tol=cfg.tol,
+        )
+        TW = jnp.stack([T_ds[0], W_ds[0]])
+    else:
+        TW = pallas_ns.ns_fused_rp(
+            TW, S_ds[0], dt, ny, nx, br, h, cfg.Pr, cfg.Ra,
+            k=cfg.k, beta=cfg.beta, mode="explicit",
+        )
+    return TW, S_ds, dt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "br"))
+def _fast_loop(TW, S_ds, th, tl, step, limit, cfg: NSConfig, br):
+    """Run fused steps while sim_time < ttot and step < limit (traced)."""
+    from fpr_tpu.ops import ds as dsm
+
+    tt_hi, tt_lo = _f32_pair(cfg.ttot)
+
+    def cond(carry):
+        _, _, th, tl, step = carry
+        dh, dl = dsm.ds_add(th, tl, jnp.float32(-tt_hi), jnp.float32(-tt_lo))
+        return (dh < 0.0) & (step < limit)
+
+    def body(carry):
+        TW, S_ds, th, tl, step = carry
+        TW, S_ds, dt = _fast_step(TW, S_ds, cfg, br)
+        th, tl = dsm.ds_add(th, tl, dt, jnp.float32(0.0))
+        return TW, S_ds, th, tl, step + 1
+
+    return jax.lax.while_loop(cond, body, (TW, S_ds, th, tl, step))
+
+
+def simulate_fast(
+    cfg: NSConfig = NSConfig(),
+    W0=None,
+    T0=None,
+    max_steps: Optional[int] = None,
+    verbose: bool = False,
+    seed: int = 0,
+) -> NSResult:
+    """Fused-kernel, on-device-loop simulation (f32 state, ds solves).
+
+    Same contract as ``simulate`` minus snapshots; the physical time loop
+    runs inside lax.while_loop, so the host syncs exactly twice (after the
+    3-step warmup and at the end).  Semantics per step match ns_step; all
+    multigrid solves use the double-single defect correction at cfg.tol.
+    """
+    from fpr_tpu.ops import pallas2d
+
+    ny, nx = cfg.ny, cfg.nx
+    f32 = jnp.float32
+    key = jax.random.PRNGKey(seed)
+    T = init_field(cfg, cfg.T_init, key=key, dtype=f32) if T0 is None else jnp.asarray(T0, f32)
+    W = init_field(cfg, cfg.W_init, key=key, dtype=f32) if W0 is None else jnp.asarray(W0, f32)
+
+    br = pallas2d._pick_br(ny, nx, 4)
+    TW = jnp.stack([pallas2d.pad2d(T, br), pallas2d.pad2d(W, br)])
+    S_ds = jnp.zeros((2,) + TW.shape[1:], f32)
+    th = jnp.asarray(0.0, f32)
+    tl = jnp.asarray(0.0, f32)
+    step = jnp.asarray(0, jnp.int32)
+    hard_cap = jnp.asarray(
+        max_steps if max_steps is not None else 1_000_000, jnp.int32
+    )
+
+    # warmup chunk (steps 1-3 excluded from timing, part2.jl:182-184)
+    warm = jnp.minimum(jnp.asarray(3, jnp.int32), hard_cap)
+    TW, S_ds, th, tl, step = _fast_loop(TW, S_ds, th, tl, step, warm, cfg, br)
+    jax.block_until_ready(TW)
+    float(th)  # force the scalar through (tunnel-safe sync)
+    tic = time.time()
+    TW, S_ds, th, tl, step = _fast_loop(TW, S_ds, th, tl, step, hard_cap, cfg, br)
+    sim_time = float(th) + float(tl)  # the sync that stops the clock
+    t_elapsed = time.time() - tic
+
+    steps = int(step)
+    if verbose:
+        print(f"time, steps: {sim_time} {steps}")
+    T = np.asarray(pallas2d.unpad2d(TW[0], ny, nx), np.float64)
+    W = np.asarray(pallas2d.unpad2d(TW[1], ny, nx), np.float64)
+    S = np.asarray(
+        pallas2d.unpad2d(S_ds[0], ny, nx), np.float64
+    ) + np.asarray(pallas2d.unpad2d(S_ds[1], ny, nx), np.float64)
+    return NSResult(
+        T=T, W=W, S=S,
+        t_elapsed=t_elapsed,
+        timed_iters=max(steps - 3, 0),
+        steps=steps,
+        sim_time=sim_time,
+        snapshots=None,
     )

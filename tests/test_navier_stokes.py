@@ -107,3 +107,37 @@ def test_explicit_vs_semi_implicit_dt():
     # average dt must be larger without the diffusive restriction
     assert semi.sim_time / semi.steps > exp.sim_time / exp.steps
     assert semi.steps <= exp.steps
+
+
+def test_simulate_fast_matches_host_loop_explicit():
+    """The fused on-device loop (f32 state, ds solves) must reproduce the
+    host-loop f64 path: identical step count, same dt sequence (via
+    sim_time), fields to f32-trajectory accuracy over several steps."""
+    from fpr_tpu.models.navier_stokes import simulate, simulate_fast
+
+    cfg = NSConfig(nx=65, ny=65, ttot=1e-3, beta=0.0, Pr=0.01,
+                   tol=1e-7, niters=50, W_init=InitScheme.RANDOM)
+    rng = np.random.default_rng(7)
+    W0 = rng.standard_normal((65, 65)) * 10.0
+    ref = simulate(cfg, W0=W0, max_steps=6, dtype=jnp.float64)
+    got = simulate_fast(cfg, W0=W0, max_steps=6)
+    assert got.steps == ref.steps
+    assert abs(got.sim_time - ref.sim_time) < 1e-6 * max(ref.sim_time, 1e-30)
+    np.testing.assert_allclose(got.T, ref.T, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got.W, ref.W, rtol=2e-4, atol=2e-4 * np.abs(ref.W).max())
+    np.testing.assert_allclose(got.S, ref.S, rtol=2e-4, atol=2e-4 * np.abs(ref.S).max())
+
+
+def test_simulate_fast_matches_host_loop_semi_implicit():
+    from fpr_tpu.models.navier_stokes import simulate, simulate_fast
+
+    cfg = NSConfig(nx=65, ny=65, ttot=1e-3, beta=0.5, Pr=0.1,
+                   tol=1e-7, niters=50, W_init=InitScheme.RANDOM,
+                   mg_solver="mixed")
+    rng = np.random.default_rng(11)
+    W0 = rng.standard_normal((65, 65)) * 10.0
+    ref = simulate(cfg, W0=W0, max_steps=3, dtype=jnp.float64)
+    got = simulate_fast(cfg, W0=W0, max_steps=3)
+    assert got.steps == ref.steps
+    np.testing.assert_allclose(got.T, ref.T, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got.W, ref.W, rtol=1e-3, atol=1e-3 * np.abs(ref.W).max())
