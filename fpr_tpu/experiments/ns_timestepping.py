@@ -21,7 +21,11 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-7)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--max-steps", type=int, default=100000)
-    ap.add_argument("--solver", choices=["direct", "mixed"], default="direct")
+    ap.add_argument(
+        "--solver", choices=["direct", "mixed", "fast"], default="direct",
+        help="'fast' = simulate_fast (fused operator kernel, on-device "
+        "while_loop, double-single MG solves — the TPU production path)",
+    )
     ap.add_argument("--Pr", type=float, default=None, help="single-Pr run")
     args = ap.parse_args()
 
@@ -42,6 +46,8 @@ def main():
         dtype = jnp.float64
     else:
         dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.solver == "fast" and args.f64:
+        raise SystemExit("--solver fast is the f32 production path (no --f64)")
 
     pr_values = [args.Pr] if args.Pr is not None else [1e-3, 1e-2, 1e-1, 1.0, 10.0]
     for Pr in pr_values:
@@ -55,7 +61,10 @@ def main():
                 niters=50, mg_solver=args.solver,
             )
             try:
-                out = ns.simulate(cfg, dtype=dtype, max_steps=args.max_steps)
+                if args.solver == "fast":
+                    out = ns.simulate_fast(cfg, max_steps=args.max_steps)
+                else:
+                    out = ns.simulate(cfg, dtype=dtype, max_steps=args.max_steps)
             except Exception as exc:
                 print(f"Pr={Pr} beta={beta}: FAILED {type(exc).__name__}: {exc}")
                 continue

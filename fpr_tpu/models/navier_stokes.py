@@ -322,13 +322,16 @@ def simulate_fast(
     max_steps: Optional[int] = None,
     verbose: bool = False,
     seed: int = 0,
+    chunk_steps: int = 20_000,
 ) -> NSResult:
     """Fused-kernel, on-device-loop simulation (f32 state, ds solves).
 
     Same contract as ``simulate`` minus snapshots; the physical time loop
     runs inside lax.while_loop, so the host syncs exactly twice (after the
-    3-step warmup and at the end).  Semantics per step match ns_step; all
-    multigrid solves use the double-single defect correction at cfg.tol.
+    3-step warmup and at the end) plus once per ``chunk_steps`` on very
+    long runs (a single >100 s device execution can outlive the transport's
+    RPC deadline — chunking bounds it while reusing the same executable;
+    the sync is a scalar read, ~2.5 ms per chunk).
     """
     from fpr_tpu.ops import pallas2d
 
@@ -354,8 +357,14 @@ def simulate_fast(
     jax.block_until_ready(TW)
     float(th)  # force the scalar through (tunnel-safe sync)
     tic = time.time()
-    TW, S_ds, th, tl, step = _fast_loop(TW, S_ds, th, tl, step, hard_cap, cfg, br)
-    sim_time = float(th) + float(tl)  # the sync that stops the clock
+    while True:
+        limit = jnp.minimum(step + jnp.asarray(chunk_steps, jnp.int32), hard_cap)
+        TW, S_ds, th, tl, step = _fast_loop(TW, S_ds, th, tl, step, limit, cfg, br)
+        sim_time = float(th) + float(tl)  # the sync that stops the clock
+        if sim_time >= cfg.ttot or int(step) >= int(hard_cap):
+            break
+        if verbose:
+            print(f"time, steps: {sim_time} {int(step)}")
     t_elapsed = time.time() - tic
 
     steps = int(step)
