@@ -82,29 +82,39 @@ def _pad_yx(ny: int, nx: int) -> tuple[int, int]:
     return -(-ny // 8) * 8, -(-nx // 128) * 128
 
 
-def pad3d(H):
-    """Physical (nz, ny, nx) -> ghost/tile-padded (nz+2, ny8, nx128).
+def pad3d(H, ghosts=(0, 0)):
+    """Physical (nz, ny, nx) -> ghost/tile-padded (nz+2, gy+ny8+gy, gx+nx128+gx).
 
     One z-ghost plane on each side; y/x padded up to tile multiples (the pad
-    cells are masked out of every update and norm)."""
+    cells are masked out of every update and norm).  ghosts=(gy, gx) adds
+    tile-aligned ghost blocks on BOTH sides of y (gy in {0, 8}) and x
+    (gx in {0, 128}) for meshes that decompose those dimensions: the stencil
+    then reads neighbor values from padded row/lane gy-1 / gx-1 and
+    gy+ny / gx+nx, refreshed by parallel.halo.refresh_ghosts_padded."""
     nz, ny, nx = H.shape
+    gy, gx = ghosts
     ny8, nx128 = _pad_yx(ny, nx)
-    return jnp.pad(H, ((1, 1), (0, ny8 - ny), (0, nx128 - nx)))
+    return jnp.pad(
+        H, ((1, 1), (gy, gy + ny8 - ny), (gx, gx + nx128 - nx))
+    )
 
 
-def pad_ht(H):
-    """Physical Ht -> tile-padded (nz, ny8, nx128) (no z ghosts)."""
+def pad_ht(H, ghosts=(0, 0)):
+    """Physical Ht -> tile-padded (nz, ...) (no z ghosts; y/x layout must
+    match pad3d's so the kernel's elementwise (Htau - Ht) lines up)."""
     nz, ny, nx = H.shape
+    gy, gx = ghosts
     ny8, nx128 = _pad_yx(ny, nx)
-    return jnp.pad(H, ((0, 0), (0, ny8 - ny), (0, nx128 - nx)))
+    return jnp.pad(H, ((0, 0), (gy, gy + ny8 - ny), (gx, gx + nx128 - nx)))
 
 
-def unpad3d(Hp, shape=None):
+def unpad3d(Hp, shape=None, ghosts=(0, 0)):
     """Ghost/tile-padded -> physical view."""
     if shape is None:
         return Hp[1:-1, :, :]
     nz, ny, nx = shape
-    return Hp[1 : 1 + nz, :ny, :nx]
+    gy, gx = ghosts
+    return Hp[1 : 1 + nz, gy : gy + ny, gx : gx + nx]
 
 
 def pad3d2(H):
@@ -143,8 +153,8 @@ def _shift_x(a, d):
 
 
 def _dual_time_kernel(
-    zbounds_ref, ht_ref, htau_hbm, out_hbm, acc_ref, slabs, results, sem_in, sem_out,
-    *, BZ, nz, ny, nx, nyp, nxp, dt, dtau, D, dx, dy, dz,
+    bounds_ref, ht_ref, htau_hbm, out_hbm, acc_ref, slabs, results, sem_in, sem_out,
+    *, BZ, nz, ny, nx, nyp, nxp, gy_off, gx_off, dt, dtau, D, dx, dy, dz,
 ):
     """Double-buffered: while block i computes, block i+1's halo slab is
     in flight and block i-1's output is draining, so the HBM streams stay
@@ -209,16 +219,17 @@ def _dual_time_kernel(
     )
     dHdtau = (center - ht_ref[:, :, :]) * _dt - jnp.asarray(D, dtype) * lap
 
-    # mask of physical-interior cells (y/x tile-pad cells excluded too)
+    # mask of updateable cells (ghost and y/x tile-pad cells excluded).
+    # All six bounds are dynamic physical coordinates: (1, n-2) per axis on
+    # a single device, shard-dependent when that axis is decomposed over
+    # the mesh (global faces only — see parallel.halo.mask_bounds)
     gz = z0 + jax.lax.broadcasted_iota(jnp.int32, (BZ, nyp, nxp), 0)
-    gy = jax.lax.broadcasted_iota(jnp.int32, (BZ, nyp, nxp), 1)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (BZ, nyp, nxp), 2)
-    # z bounds are dynamic: (1, nz-2) single-device, shard-dependent when the
-    # z axis is decomposed over a mesh (global faces only — see parallel.halo)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (BZ, nyp, nxp), 1) - gy_off
+    gx = jax.lax.broadcasted_iota(jnp.int32, (BZ, nyp, nxp), 2) - gx_off
     interior = (
-        (gz >= zbounds_ref[0]) & (gz <= zbounds_ref[1])
-        & (gy > 0) & (gy < ny - 1)
-        & (gx > 0) & (gx < nx - 1)
+        (gz >= bounds_ref[0]) & (gz <= bounds_ref[1])
+        & (gy >= bounds_ref[2]) & (gy <= bounds_ref[3])
+        & (gx >= bounds_ref[4]) & (gx <= bounds_ref[5])
     )
 
     dHdtau = jnp.where(interior, dHdtau, jnp.asarray(0.0, dtype))
@@ -445,15 +456,18 @@ def dual_time_step2_padded(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
+def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret,
+                ghosts=(0, 0)):
     nz, ny, nx = shape  # logical physical shape
-    nyp, nxp = _pad_yx(ny, nx)  # stored tile-padded shape
+    gy, gx = ghosts
+    ny8, nx128 = _pad_yx(ny, nx)
+    nyp, nxp = 2 * gy + ny8, 2 * gx + nx128  # stored ghost/tile-padded shape
     dtype = jnp.dtype(dtype_name)
     grid = (nz // BZ,)
 
     kernel = functools.partial(
         _dual_time_kernel,
-        BZ=BZ, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp,
+        BZ=BZ, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp, gy_off=gy, gx_off=gx,
         dt=dt, dtau=dtau, D=D, dx=dx, dy=dy, dz=dz,
     )
     word = dtype.itemsize
@@ -461,7 +475,7 @@ def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((6,), lambda i: _im32(0), memory_space=pltpu.SMEM),
             pl.BlockSpec((BZ, nyp, nxp), lambda i: _im32(i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
         ],
@@ -493,31 +507,36 @@ def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
 
 def dual_time_step_padded(
     Ht_padded, Htau_padded, shape, dt, dtau, dx, dy, dz, D,
-    block_z=None, z_bounds=None,
+    block_z=None, z_bounds=None, bounds=None, ghosts=(0, 0),
 ):
     """One fused pseudo-time iteration on ghost/tile-padded state.
 
-    shape is the logical (nz, ny, nx); Ht_padded is ``pad_ht``-shaped
-    (nz, ny8, nx128) and Htau_padded ``pad3d``-shaped (nz+2, ny8, nx128).
-    z_bounds = (zlo, zhi) inclusive local-z range of updateable cells —
-    defaults to (1, nz-2) (single device, global Dirichlet faces); sharded
-    callers pass shard-dependent bounds.  Returns (Htau_padded', sumsq of
-    dHdtau over the updateable cells).
+    shape is the logical (nz, ny, nx); Ht_padded is ``pad_ht``-shaped and
+    Htau_padded ``pad3d``-shaped (both with matching ``ghosts``).
+    Bounds are inclusive local ranges of updateable cells per axis:
+    ``bounds`` = (zlo, zhi, ylo, yhi, xlo, xhi), or the legacy ``z_bounds``
+    = (zlo, zhi) with full-interior y/x.  Defaults to the single-device
+    global-Dirichlet interior; sharded callers pass shard-dependent values
+    (parallel.halo.mask_bounds).  Returns (Htau_padded', sumsq of dHdtau
+    over the updateable cells).
     """
     nz, ny, nx = shape
-    BZ = block_z or _pick_bz(nz, *_pad_yx(ny, nx), jnp.dtype(Ht_padded.dtype).itemsize)
+    gy, gx = ghosts
+    ny8, nx128 = _pad_yx(ny, nx)
+    BZ = block_z or _pick_bz(
+        nz, 2 * gy + ny8, 2 * gx + nx128, jnp.dtype(Ht_padded.dtype).itemsize
+    )
     call = _build_call(
         tuple(shape), jnp.dtype(Ht_padded.dtype).name, BZ,
         float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
-        not _on_tpu(),
+        not _on_tpu(), ghosts=(int(gy), int(gx)),
     )
-    if z_bounds is None:
-        zb = jnp.asarray([1, nz - 2], jnp.int32)
-    else:
-        zb = jnp.stack(
-            [jnp.asarray(z_bounds[0], jnp.int32), jnp.asarray(z_bounds[1], jnp.int32)]
-        )
-    out, acc = call(zb, Ht_padded, Htau_padded)
+    if bounds is None:
+        if z_bounds is None:
+            z_bounds = (1, nz - 2)
+        bounds = (z_bounds[0], z_bounds[1], 1, ny - 2, 1, nx - 2)
+    bd = jnp.stack([jnp.asarray(b, jnp.int32) for b in bounds])
+    out, acc = call(bd, Ht_padded, Htau_padded)
     return out, acc[0, 0]
 
 

@@ -13,10 +13,11 @@ The TPU-native rebuild of the reference's multi-XPU path
 - the whole inner pseudo-time loop (stencil + halo exchange + global norm)
   runs on-device inside shard_map; the host syncs once per physical step.
 
-Operator tiers: ExecutionPolicy.PALLAS uses the fused kernel (z-axis
-decomposition only — its state layout ghost-pads z; full (y, x) planes stay
-on the lanes); ExecutionPolicy.JNP supports any mesh shape via the fully
-ghost-padded ext3 step.
+Operator tiers: both ExecutionPolicy.PALLAS (fused kernel on the
+ghost/tile-padded layout — decomposed y/x dims get tile-aligned ghost
+blocks, mirroring the reference's 3D Cartesian rank grid,
+part1_kernel_programming.jl:100-101) and ExecutionPolicy.JNP (fully
+ghost-padded ext3 step) support 1D/2D/3D meshes.
 """
 
 from __future__ import annotations
@@ -78,17 +79,22 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
     sqrt_n = float(np.sqrt(grid.n))
     kw = dict(dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D)
     use_pallas = cfg.policy == ExecutionPolicy.PALLAS
-    axes = set(mesh.axis_names)
-    if use_pallas and not axes <= {"z"}:
-        raise ValueError(
-            "the fused Pallas tier decomposes over z only; use "
-            "ExecutionPolicy.JNP for 2D/3D meshes"
-        )
     all_axes = tuple(mesh.axis_names)
     local_shape = (cfg.nz, cfg.ny, cfg.nx)
     sharded = {AXIS_DIM[a]: a for a in mesh.axis_names}
+    # Pallas ghost layout: tile-aligned ghost blocks only on decomposed
+    # y/x dims (8 sublanes / 128 lanes per side); z always ghost-padded
+    ghosts = (8 if 1 in sharded else 0, 128 if 2 in sharded else 0)
 
     overlap = cfg.overlap_comm and not use_pallas and set(sharded) <= {0}
+    # Pallas overlap (@hide_communication analog for the fused-kernel tier,
+    # part1_kernel_programming.jl:185-188): the kernel updates the shard's
+    # z-interior while the face ppermute is in flight; the two z-edge
+    # planes are then recomputed in XLA from the fresh ghosts.  The edge
+    # planes are ~2/nz of the work, so the kernel pass hides the collective.
+    pallas_overlap = (
+        cfg.overlap_comm and use_pallas and set(sharded) <= {0} and cfg.nz >= 2
+    )
 
     def shard_body(Ht_l, Htau_l):
         bounds = [
@@ -132,11 +138,79 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
         if use_pallas:
             from fpr_tpu.ops import pallas3d
 
-            Hp = pallas3d.pad3d(Htau_l)
-            Ht_in = pallas3d.pad_ht(Ht_l)
+            Hp = pallas3d.pad3d(Htau_l, ghosts)
+            Ht_in = pallas3d.pad_ht(Ht_l, ghosts)
         else:
             Hp = jnp.pad(Htau_l, 1)
             Ht_in = Ht_l
+
+        if pallas_overlap:
+            from fpr_tpu.ops import pallas3d
+
+            nzl = cfg.nz
+            # constants in the kernel's exact arithmetic form (multiplies by
+            # trace-time reciprocals) so the edge planes match it ulp-for-ulp
+            _dx2, _dy2 = 1.0 / (kw["dx"] ** 2), 1.0 / (kw["dy"] ** 2)
+            _dz2, _dt = 1.0 / (kw["dz"] ** 2), 1.0 / kw["dt"]
+
+            def edge_dH(center, zm, zp, ht):
+                ym = jnp.concatenate([center[:1, :], center[:-1, :]], axis=0)
+                yp = jnp.concatenate([center[1:, :], center[-1:, :]], axis=0)
+                xm = jnp.concatenate([center[:, :1], center[:, :-1]], axis=1)
+                xp = jnp.concatenate([center[:, 1:], center[:, -1:]], axis=1)
+                lap = (
+                    (xp - 2.0 * center + xm) * _dx2
+                    + (yp - 2.0 * center + ym) * _dy2
+                    + (zp - 2.0 * center + zm) * _dz2
+                )
+                dH = (center - ht) * _dt - kw["D"] * lap
+                gy = jax.lax.broadcasted_iota(jnp.int32, center.shape, 0)
+                gx = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+                m = (gy > 0) & (gy < cfg.ny - 1) & (gx > 0) & (gx < cfg.nx - 1)
+                return jnp.where(m, dH, jnp.asarray(0.0, center.dtype))
+
+            def cond_po(carry):
+                _, err, it = carry
+                return jnp.logical_and(err > cfg.tol, it < cfg.iter_max)
+
+            def body_po(carry):
+                Hp, _, it = carry
+                # start the face exchange; the interior kernel pass below
+                # has no data dependence on it, so XLA overlaps them
+                gl, gh = halo.exchange_faces(Hp[1 : 1 + nzl], "z", 0)
+                out, sumsq = pallas3d.dual_time_step_padded(
+                    Ht_in, Hp, local_shape,
+                    bounds=(
+                        jnp.maximum(zlo, 1), jnp.minimum(zhi, nzl - 2),
+                        ylo, yhi, xlo, xhi,
+                    ),
+                    ghosts=ghosts, **kw,
+                )
+                dtau_ = jnp.asarray(kw["dtau"], Hp.dtype)
+                # z-edge planes from the fresh ghosts (skipped at the global
+                # faces, where the plane is Dirichlet and stays put)
+                c0 = Hp[1]
+                dH0 = edge_dH(c0, gl[0], Hp[2], Ht_in[0])
+                do0 = zlo <= 0
+                new0 = jnp.where(do0, c0 - dtau_ * dH0, c0)
+                s0 = jnp.where(do0, jnp.sum(dH0 * dH0), 0.0)
+                cl = Hp[nzl]
+                dHl = edge_dH(cl, Hp[nzl - 1], gh[0], Ht_in[nzl - 1])
+                dol = zhi >= nzl - 1
+                newl = jnp.where(dol, cl - dtau_ * dHl, cl)
+                sl = jnp.where(dol, jnp.sum(dHl * dHl), 0.0)
+                out = out.at[1].set(new0).at[nzl].set(newl)
+                sumsq = reductions.dist_sumsq(sumsq + s0 + sl, all_axes)
+                err = jnp.sqrt(sumsq) * cfg.dt / sqrt_n
+                return out, err.astype(out.dtype), it + 1
+
+            Hp, err, iters = jax.lax.while_loop(
+                cond_po,
+                body_po,
+                (Hp, jnp.asarray(jnp.inf, Hp.dtype), jnp.asarray(0, jnp.int32)),
+            )
+            Ht_new = pallas3d.unpad3d(Hp, local_shape, ghosts)
+            return Ht_new, Ht_new, err, iters
 
         def cond(carry):
             _, err, it = carry
@@ -147,10 +221,13 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
             if use_pallas:
                 from fpr_tpu.ops import pallas3d
 
-                if "z" in axes:
-                    Hp = halo.set_ghost_planes_z(Hp, "z")
+                if sharded:
+                    Hp = halo.refresh_ghosts_padded(
+                        Hp, local_shape, sharded, ghosts
+                    )
                 Hp, sumsq = pallas3d.dual_time_step_padded(
-                    Ht_in, Hp, local_shape, z_bounds=(zlo, zhi), **kw
+                    Ht_in, Hp, local_shape,
+                    bounds=(zlo, zhi, ylo, yhi, xlo, xhi), ghosts=ghosts, **kw
                 )
             else:
                 Hp = halo.refresh_ghosts_ext(Hp, sharded)
@@ -170,7 +247,7 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
         if use_pallas:
             from fpr_tpu.ops import pallas3d
 
-            Ht_new = pallas3d.unpad3d(Hp, local_shape)
+            Ht_new = pallas3d.unpad3d(Hp, local_shape, ghosts)
         else:
             Ht_new = Hp[1:-1, 1:-1, 1:-1]
         return Ht_new, Ht_new, err, iters

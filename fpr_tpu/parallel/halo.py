@@ -81,3 +81,41 @@ def set_ghost_planes_z(padded: jnp.ndarray, axis_name: str):
     return padded
 
 
+def refresh_ghosts_padded(Hp, shape, sharded, ghosts):
+    """Refresh every sharded dimension's ghost layer of a Pallas-layout
+    (nz+2, gy+ny8+gy, gx+nx128+gx) block (fpr_tpu.ops.pallas3d.pad3d).
+
+    sharded: dim index (0/1/2) -> mesh axis name.  The one-cell faces are
+    ppermuted in full padded width; a face's own ghost/pad cells carry
+    stale values but only ever feed masked (non-updateable) cells — the
+    7-point stencil never reads diagonal corners.
+    """
+    nz, ny, nx = shape
+    gy, gx = ghosts
+    for dim, axis_name in sharded.items():
+        if dim == 0:
+            lo_face = Hp[nz : nz + 1, :, :]      # last physical plane
+            hi_face = Hp[1:2, :, :]              # first physical plane
+            dst_lo, dst_hi = 0, nz + 1
+        elif dim == 1:
+            lo_face = Hp[:, gy + ny - 1 : gy + ny, :]
+            hi_face = Hp[:, gy : gy + 1, :]
+            dst_lo, dst_hi = gy - 1, gy + ny
+        else:
+            lo_face = Hp[:, :, gx + nx - 1 : gx + nx]
+            hi_face = Hp[:, :, gx : gx + 1]
+            dst_lo, dst_hi = gx - 1, gx + nx
+        n = lax.axis_size(axis_name)
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+        ghost_lo = lax.ppermute(lo_face, axis_name, fwd)
+        ghost_hi = lax.ppermute(hi_face, axis_name, bwd)
+        idx_lo = [slice(None)] * 3
+        idx_lo[dim] = slice(dst_lo, dst_lo + 1)
+        idx_hi = [slice(None)] * 3
+        idx_hi[dim] = slice(dst_hi, dst_hi + 1)
+        Hp = Hp.at[tuple(idx_lo)].set(ghost_lo)
+        Hp = Hp.at[tuple(idx_hi)].set(ghost_hi)
+    return Hp
+
+
