@@ -28,10 +28,14 @@ class ExecutionPolicy(enum.Enum):
     - PALLAS: fused hand-written Pallas kernels with VMEM blocking (the
       "kernel programming with shared memory" tier — VMEM blocks play the
       role of CUDA shared memory).
+    - PALLAS_DS: the Pallas kernels on double-single (two-f32, ~48-bit)
+      state — f64-class tolerances at near-f32 speed (TPUs have no native
+      f64; XLA emulation is ~30x slower than this tier at 128^3).
     """
 
     JNP = "jnp"
     PALLAS = "pallas"
+    PALLAS_DS = "pallas_ds"
 
 
 class CoarseSolver(enum.Enum):

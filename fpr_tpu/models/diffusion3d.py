@@ -58,13 +58,20 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
     dtau = pseudo_timestep(grid.dx, grid.dy, grid.dz, cfg.D)
     kw = dict(dt=cfg.dt, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=cfg.D)
     pallas = cfg.policy == ExecutionPolicy.PALLAS
-    fused2 = pallas and cfg.check_every == 2
+    ds_tier = cfg.policy == ExecutionPolicy.PALLAS_DS
+    K = cfg.check_every if pallas else 1
+    fused2 = pallas and K >= 2  # temporally-fused K-iteration kernel
     shape = (cfg.nz, cfg.ny, cfg.nx)
-    if fused2:
+    if ds_tier:
+        from fpr_tpu.ops import ds3d
+
+        def step(Ht_ds, Hp_ds):
+            return ds3d.dual_time_step_ds_padded(Ht_ds, Hp_ds, shape, **kw)
+    elif fused2:
         from fpr_tpu.ops import pallas3d
 
         def step(Ht_pad, Hp):
-            return pallas3d.dual_time_step2_padded(Ht_pad, Hp, shape, **kw)
+            return pallas3d.dual_time_stepk_padded(Ht_pad, Hp, shape, K=K, **kw)
     elif pallas:
         from fpr_tpu.ops import pallas3d
 
@@ -74,15 +81,16 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
         step = functools.partial(stencil3d.dual_time_step, **kw)
 
     sqrt_n = float(np.sqrt(total_n))
-    iters_per_call = 2 if fused2 else 1
+    iters_per_call = K if fused2 else 1
 
     def physical_step(Ht, Htau):
-        # Htau is ghost/tile-padded under the Pallas policy (the fused
-        # kernel's native state layout), physical-shaped otherwise
+        # Htau is ghost/tile-padded under the Pallas policies (the fused
+        # kernel's native state layout), physical-shaped otherwise; under
+        # PALLAS_DS both carries are stacked hi/lo pairs already in layout
         if pallas:
             from fpr_tpu.ops import pallas3d
 
-            Ht_in = pallas3d.pad_ht2(Ht) if fused2 else pallas3d.pad_ht(Ht)
+            Ht_in = pallas3d.pad_htk(Ht, K) if fused2 else pallas3d.pad_ht(Ht)
         else:
             Ht_in = Ht
 
@@ -99,20 +107,23 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
         Htau, err, iters = jax.lax.while_loop(
             cond,
             body,
-            (Htau, jnp.asarray(jnp.inf, Htau.dtype), jnp.asarray(0, jnp.int32)),
+            (Htau, jnp.asarray(jnp.inf, jnp.float32 if ds_tier else Htau.dtype),
+             jnp.asarray(0, jnp.int32)),
         )
-        if pallas:
+        if ds_tier:
+            Ht_new = Htau[:, 1 : 1 + cfg.nz]  # ds pair, kernel-ht layout
+        elif pallas:
             from fpr_tpu.ops import pallas3d
 
             Ht_new = (
-                pallas3d.unpad3d2(Htau, shape) if fused2
+                pallas3d.unpad3dk(Htau, shape, K) if fused2
                 else pallas3d.unpad3d(Htau, shape)
             )
         else:
             Ht_new = Htau
         return Ht_new, Htau, err, iters  # Ht' = Htau (commit, ref :203)
 
-    return jax.jit(physical_step), (pallas, fused2)
+    return jax.jit(physical_step), (pallas, fused2, ds_tier, K)
 
 
 def solve(
@@ -126,14 +137,25 @@ def solve(
     total_n = grid.n
     nt = outer_steps(cfg.ttot, cfg.dt)
 
-    Ht = stencil3d.init_gaussian(grid, dtype=dtype)
+    step, (pallas, fused2, ds_tier, K) = _step_fn(cfg, grid, total_n)
+    if ds_tier and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "ExecutionPolicy.PALLAS_DS needs x64 enabled for the entry/exit "
+            "conversions (the iteration itself is all-f32)"
+        )
+    init_dtype = jnp.float64 if ds_tier else dtype
+    Ht = stencil3d.init_gaussian(grid, dtype=init_dtype)
     Ht = bc.dirichlet_faces_3d(Ht)
 
-    step, (pallas, fused2) = _step_fn(cfg, grid, total_n)
-    if pallas:
+    if ds_tier:
+        from fpr_tpu.ops import ds3d
+
+        Htau = ds3d.to_ds_padded(Ht)
+        Ht = Htau[:, 1 : 1 + cfg.nz]  # kernel-ht layout, ds pair
+    elif pallas:
         from fpr_tpu.ops import pallas3d
 
-        Htau = pallas3d.pad3d2(Ht) if fused2 else pallas3d.pad3d(Ht)
+        Htau = pallas3d.pad3dk(Ht, K) if fused2 else pallas3d.pad3d(Ht)
     else:
         Htau = Ht
 
@@ -160,14 +182,22 @@ def solve(
     jax.block_until_ready(Ht)
     delta_t = time.time() - tic
 
-    model = "fused" if cfg.policy == ExecutionPolicy.PALLAS else "plain"
+    if ds_tier:
+        H_out = np.asarray(
+            Ht[0, :, : cfg.ny, : cfg.nx].astype(jnp.float64)
+            + Ht[1, :, : cfg.ny, : cfg.nx].astype(jnp.float64)
+        )
+    else:
+        H_out = np.asarray(Ht)
+
+    model = "plain" if cfg.policy == ExecutionPolicy.JNP else "fused"
     bench = diffusion_bench_results(
         delta_t, timed_iters, cfg.nx, cfg.ny, cfg.nz,
-        word_bytes=jnp.dtype(dtype).itemsize, model=model,
+        word_bytes=8 if ds_tier else jnp.dtype(dtype).itemsize, model=model,
     )
     return DiffusionResult(
         x=grid.coords1d("x"),
-        H=np.asarray(Ht),
+        H=H_out,
         iters_total=iters_total,
         timed_iters=timed_iters,
         bench=bench,

@@ -209,3 +209,24 @@ def test_mg_solve_ds_warm_start(rng, monkeypatch):
     u2, r2, it2 = multigrid.mg_solve_ds(u1, b, h, 0.0, 1e-7, 40)
     assert int(it2) == 0  # already below tolerance: no outer iterations
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-12)
+
+
+def test_ds3d_dual_time_matches_f64(rng):
+    """The double-single 3D dual-time tier must track the f64 jnp solve to
+    ~1e-10 at a tolerance far below the f32 floor (the part-1
+    error-vs-tolerance regime, part1_error_vs_tolerance_experiments.jl)."""
+    from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
+    from fpr_tpu.models import diffusion3d
+
+    base = dict(nx=32, ny=32, nz=32, ttot=0.4, tol=1e-9)
+    ref = diffusion3d.solve(
+        DiffusionConfig(policy=ExecutionPolicy.JNP, **base), dtype=jnp.float64
+    )
+    got = diffusion3d.solve(
+        DiffusionConfig(policy=ExecutionPolicy.PALLAS_DS, **base)
+    )
+    assert got.converged
+    # identical iteration counts: the ds iteration reproduces the f64
+    # residual trajectory well below the 1e-9 stopping threshold
+    assert got.iters_total == ref.iters_total
+    np.testing.assert_allclose(got.H, ref.H, atol=2e-10)
