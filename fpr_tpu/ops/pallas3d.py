@@ -117,26 +117,39 @@ def unpad3d(Hp, shape=None, ghosts=(0, 0)):
     return Hp[1 : 1 + nz, gy : gy + ny, gx : gx + nx]
 
 
-def pad3d2(H):
-    """Physical -> 2-deep-z-ghost/tile-padded (nz+4, ny8, nx128) for the
-    temporally-fused two-iteration kernel."""
+def pad3dk(H, K=2):
+    """Physical -> K-deep-z-ghost/tile-padded (nz+2K, ny8, nx128) for the
+    temporally-fused K-iteration kernel."""
     nz, ny, nx = H.shape
     ny8, nx128 = _pad_yx(ny, nx)
-    return jnp.pad(H, ((2, 2), (0, ny8 - ny), (0, nx128 - nx)))
+    return jnp.pad(H, ((K, K), (0, ny8 - ny), (0, nx128 - nx)))
 
 
-def pad_ht2(H):
-    """Physical Ht -> 1-deep-z-ghost/tile-padded (nz+2, ny8, nx128): the
-    fused kernel's first sweep updates one plane beyond each block, so it
+def pad_htk(H, K=2):
+    """Physical Ht -> (K-1)-deep-z-ghost/tile-padded (nz+2K-2, ...): the
+    fused kernel's first sweep updates K-1 planes beyond each block, so it
     reads Ht there too (ghost planes only feed masked cells)."""
     nz, ny, nx = H.shape
     ny8, nx128 = _pad_yx(ny, nx)
-    return jnp.pad(H, ((1, 1), (0, ny8 - ny), (0, nx128 - nx)))
+    return jnp.pad(H, ((K - 1, K - 1), (0, ny8 - ny), (0, nx128 - nx)))
+
+
+def unpad3dk(Hp, shape, K=2):
+    nz, ny, nx = shape
+    return Hp[K : K + nz, :ny, :nx]
+
+
+# K=2 aliases (the original two-iteration entry points)
+def pad3d2(H):
+    return pad3dk(H, 2)
+
+
+def pad_ht2(H):
+    return pad_htk(H, 2)
 
 
 def unpad3d2(Hp, shape):
-    nz, ny, nx = shape
-    return Hp[2 : 2 + nz, :ny, :nx]
+    return unpad3dk(Hp, shape, 2)
 
 
 def _shift_y(a, d):
@@ -254,24 +267,26 @@ def _dual_time_kernel(
         copy_out(i, slot).wait()
 
 
-def _dual_time2_kernel(
+def _dual_timek_kernel(
     zbounds_ref, ht_hbm, htau_hbm, out_hbm, acc_ref,
     slabs, htbufs, results, sem_in, sem_ht, sem_out,
-    *, BZ, nz, ny, nx, nyp, nxp, dt, dtau, D, dx, dy, dz,
+    *, K, BZ, nz, ny, nx, nyp, nxp, dt, dtau, D, dx, dy, dz,
 ):
-    """Temporally fused: TWO pseudo-time iterations per HBM pass.
+    """Temporally fused: K pseudo-time iterations per HBM pass.
 
-    The state carries a 2-deep z halo; sweep 1 updates the block plus one
-    plane on each side (entirely in VMEM), sweep 2 updates the block from
-    sweep 1's result.  Per-iteration traffic drops to ~(1.5 + 3/BZ)
-    words/cell (slab (BZ+4) + Ht (BZ+2) + out BZ, amortized over two
-    iterations).  The convergence norm is the SECOND iteration's — the
-    driver checks every two iterations (DiffusionConfig.check_every=2).
+    The state carries a K-deep z halo; sweep j (j = 1..K) updates the block
+    plus K-j planes on each side, entirely in VMEM, from sweep j-1's
+    result.  Per-iteration traffic drops to ~((3BZ + 8K - 6)/BZ)/K
+    words/cell (slab (BZ+2K) + Ht (BZ+2K-2) + out BZ, amortized over K
+    iterations) — the 1/K temporal-fusion lever on an already
+    bandwidth-bound kernel.  The convergence norm is the LAST iteration's;
+    the driver checks every K iterations (DiffusionConfig.check_every=K).
     """
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
     nslot = 1 - slot
+    HT = BZ + 2 * K - 2  # ht window planes
 
     def _i32(v):
         return jnp.asarray(v, jnp.int32)
@@ -279,19 +294,19 @@ def _dual_time2_kernel(
     def copy_in(block, s):
         block, s = _i32(block), _i32(s)
         return pltpu.make_async_copy(
-            htau_hbm.at[pl.ds(block * BZ, BZ + 4), :, :], slabs.at[s], sem_in.at[s]
+            htau_hbm.at[pl.ds(block * BZ, BZ + 2 * K), :, :], slabs.at[s], sem_in.at[s]
         )
 
     def copy_ht(block, s):
         block, s = _i32(block), _i32(s)
         return pltpu.make_async_copy(
-            ht_hbm.at[pl.ds(block * BZ, BZ + 2), :, :], htbufs.at[s], sem_ht.at[s]
+            ht_hbm.at[pl.ds(block * BZ, HT), :, :], htbufs.at[s], sem_ht.at[s]
         )
 
     def copy_out(block, s):
         block, s = _i32(block), _i32(s)
         return pltpu.make_async_copy(
-            results.at[s], out_hbm.at[pl.ds(block * BZ + 2, BZ), :, :], sem_out.at[s]
+            results.at[s], out_hbm.at[pl.ds(block * BZ + K, BZ), :, :], sem_out.at[s]
         )
 
     @pl.when(i == 0)
@@ -312,7 +327,7 @@ def _dual_time2_kernel(
         copy_out(i - 2, slot).wait()
 
     slab = slabs.at[slot]
-    ht = htbufs[slot, :, :, :]  # physical planes [z0-1, z0+BZ+1)
+    ht = htbufs[slot, :, :, :]  # physical planes [z0-(K-1), z0+BZ+K-1)
     dtype = ht.dtype
     _dx2 = jnp.asarray(1.0 / (dx * dx), dtype)
     _dy2 = jnp.asarray(1.0 / (dy * dy), dtype)
@@ -322,7 +337,12 @@ def _dual_time2_kernel(
     dtau_ = jnp.asarray(dtau, dtype)
     z0 = i * BZ
 
-    def sweep(center, zm, zp, ht_c, gz0, depth):
+    def sweep(prev, ht_c, gz0):
+        """prev: (m+2, nyp, nxp) planes with phys base gz0-1; returns the
+        updated m-plane window (phys base gz0) and its dH."""
+        center = prev[1:-1]
+        zm = prev[:-2]
+        zp = prev[2:]
         ym = _shift_y(center, -1)
         yp = _shift_y(center, +1)
         xm = _shift_x(center, -1)
@@ -344,29 +364,21 @@ def _dual_time2_kernel(
         dH = jnp.where(interior, dH, jnp.asarray(0.0, dtype))
         return center - dtau_ * dH, dH
 
-    # sweep 1 on the block +- one plane: slab rows [1, BZ+3) are physical
-    # planes [z0-1, z0+BZ+1); their z neighbors are slab rows 0..BZ+3
-    u0_ext = slab[1 : BZ + 3, :, :]
-    u1_ext, _ = sweep(
-        u0_ext, slab[0 : BZ + 2, :, :], slab[2 : BZ + 4, :, :], ht, z0 - 1, depth=0
-    )
-
-    # sweep 2 on the block from sweep 1's result
-    u2, dH2 = sweep(
-        u1_ext[1 : BZ + 1, :, :],
-        u1_ext[0:BZ, :, :],
-        u1_ext[2 : BZ + 2, :, :],
-        ht[1 : BZ + 1, :, :],
-        z0,
-        depth=1,
-    )
-    results[slot, :, :, :] = u2
+    # sweep j consumes a (BZ + 2(K-j) + 2)-plane window and produces the
+    # (BZ + 2(K-j))-plane window with phys base z0 - (K-j); the ht slice
+    # for sweep j starts at ht-window row j-1
+    u = slab[0 : BZ + 2 * K, :, :]
+    dH = None
+    for j in range(1, K + 1):
+        m = BZ + 2 * (K - j)
+        u, dH = sweep(u, ht[j - 1 : j - 1 + m], z0 - (K - j))
+    results[slot, :, :, :] = u
 
     @pl.when(i == 0)
     def _():
         acc_ref[0, 0] = jnp.asarray(0.0, dtype)
 
-    acc_ref[0, 0] += jnp.sum(dH2 * dH2)
+    acc_ref[0, 0] += jnp.sum(dH * dH)
 
     copy_out(i, slot).start()
 
@@ -380,15 +392,15 @@ def _dual_time2_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_call2(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
+def _build_callk(shape, dtype_name, K, BZ, dt, dtau, dx, dy, dz, D, interpret):
     nz, ny, nx = shape
     nyp, nxp = _pad_yx(ny, nx)
     dtype = jnp.dtype(dtype_name)
     grid = (nz // BZ,)
 
     kernel = functools.partial(
-        _dual_time2_kernel,
-        BZ=BZ, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp,
+        _dual_timek_kernel,
+        K=K, BZ=BZ, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp,
         dt=dt, dtau=dtau, D=D, dx=dx, dy=dy, dz=dz,
     )
     word = dtype.itemsize
@@ -397,51 +409,67 @@ def _build_call2(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((nz + 4, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 2 * K - 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((nz + 4, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nz + 4, nyp, nxp), dtype),
+            jax.ShapeDtypeStruct((nz + 2 * K, nyp, nxp), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BZ + 4, nyp, nxp), dtype),
-            pltpu.VMEM((2, BZ + 2, nyp, nxp), dtype),
+            pltpu.VMEM((2, BZ + 2 * K, nyp, nxp), dtype),
+            pltpu.VMEM((2, BZ + 2 * K - 2, nyp, nxp), dtype),
             pltpu.VMEM((2, BZ, nyp, nxp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 27 * nz * ny * nx,
+            flops=K * 27 * nz * ny * nx,
             bytes_accessed=4 * word * nz * ny * nx,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )
 
 
-def dual_time_step2_padded(
-    Ht_padded2, Htau_padded2, shape, dt, dtau, dx, dy, dz, D,
-    block_z=None, z_bounds=None,
-):
-    """TWO fused pseudo-time iterations on 2-deep-ghost-padded state.
+def _pick_bzk(nz: int, nyp: int, nxp: int, itemsize: int, K: int) -> int:
+    """Deepest divisor-of-nz block depth whose K-sweep working set
+    (double-buffered slab (BZ+2K) + ht (BZ+2K-2) + out BZ, plus ~2 sweep
+    temporaries) fits the VMEM budget."""
+    plane = nyp * nxp * itemsize
+    budget = 88 * 1024 * 1024
+    best = 1
+    for b in range(1, nz + 1):
+        if nz % b == 0 and (8 * b + 12 * K) * plane <= budget:
+            best = b
+    return best
 
-    Ht_padded2 is ``pad_ht2``-shaped (nz+2, ny8, nx128); Htau_padded2 is
-    ``pad3d2``-shaped (nz+4, ny8, nx128).  Returns (Htau_padded2', sumsq of
-    the SECOND iteration's dHdtau).
+
+def dual_time_stepk_padded(
+    Ht_paddedk, Htau_paddedk, shape, dt, dtau, dx, dy, dz, D,
+    K=2, block_z=None, z_bounds=None,
+):
+    """K fused pseudo-time iterations on K-deep-ghost-padded state.
+
+    Ht_paddedk is ``pad_htk``-shaped (nz+2K-2, ny8, nx128); Htau_paddedk is
+    ``pad3dk``-shaped (nz+2K, ny8, nx128).  Returns (Htau_paddedk', sumsq
+    of the LAST iteration's dHdtau).
     """
     nz, ny, nx = shape
-    BZ = block_z or _pick_bz(nz, *_pad_yx(ny, nx), jnp.dtype(Ht_padded2.dtype).itemsize)
-    call = _build_call2(
-        tuple(shape), jnp.dtype(Ht_padded2.dtype).name, BZ,
+    nyp, nxp = _pad_yx(ny, nx)
+    BZ = block_z or _pick_bzk(
+        nz, nyp, nxp, jnp.dtype(Ht_paddedk.dtype).itemsize, K
+    )
+    call = _build_callk(
+        tuple(shape), jnp.dtype(Ht_paddedk.dtype).name, int(K), BZ,
         float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
         not _on_tpu(),
     )
@@ -451,8 +479,20 @@ def dual_time_step2_padded(
         zb = jnp.stack(
             [jnp.asarray(z_bounds[0], jnp.int32), jnp.asarray(z_bounds[1], jnp.int32)]
         )
-    out, acc = call(zb, Ht_padded2, Htau_padded2)
+    out, acc = call(zb, Ht_paddedk, Htau_paddedk)
     return out, acc[0, 0]
+
+
+def dual_time_step2_padded(
+    Ht_padded2, Htau_padded2, shape, dt, dtau, dx, dy, dz, D,
+    block_z=None, z_bounds=None,
+):
+    """TWO fused pseudo-time iterations (the K=2 case of
+    ``dual_time_stepk_padded``, kept as the original entry point)."""
+    return dual_time_stepk_padded(
+        Ht_padded2, Htau_padded2, shape, dt, dtau, dx, dy, dz, D,
+        K=2, block_z=block_z, z_bounds=z_bounds,
+    )
 
 
 @functools.lru_cache(maxsize=64)

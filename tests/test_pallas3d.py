@@ -99,3 +99,39 @@ def test_solver_with_pallas_policy(rng):
     )
     assert o_j.iters_total == o_p.iters_total
     np.testing.assert_allclose(o_p.H, o_j.H, atol=1e-13)
+
+
+@pytest.mark.parametrize("K", [3, 4])
+def test_fusedk_matches_k_steps(rng, K):
+    # the K-iteration temporally fused kernel == K sequential iterations;
+    # the norm is the LAST iteration's
+    for shape in [(8, 8, 16), (12, 20, 24)]:
+        Ht = jnp.asarray(rng.random(shape))
+        Htau = jnp.asarray(rng.random(shape))
+        args = dict(dt=0.2, dtau=1e-3, dx=0.1, dy=0.11, dz=0.12, D=1.0)
+        r, s = Htau, None
+        for _ in range(K):
+            r, s = stencil3d.dual_time_step(Ht, r, **args)
+        got_p, sg = pallas3d.dual_time_stepk_padded(
+            pallas3d.pad_htk(Ht, K), pallas3d.pad3dk(Htau, K), shape, K=K, **args
+        )
+        got = pallas3d.unpad3dk(got_p, shape, K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(r), atol=1e-14)
+        assert abs(float(sg) - float(s)) / float(s) < 1e-12
+
+
+def test_solver_fusedk_policy(rng):
+    # end-to-end solve with check_every=4 == plain JNP solve
+    from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
+    from fpr_tpu.models import diffusion3d
+
+    base = dict(nx=16, ny=16, nz=16, ttot=0.4, tol=1e-7)
+    o_j = diffusion3d.solve(
+        DiffusionConfig(policy=ExecutionPolicy.JNP, **base), dtype=jnp.float64
+    )
+    o_4 = diffusion3d.solve(
+        DiffusionConfig(policy=ExecutionPolicy.PALLAS, check_every=4, **base),
+        dtype=jnp.float64,
+    )
+    assert abs(o_4.iters_total - o_j.iters_total) <= o_j.iters_total // 10 + 8
+    np.testing.assert_allclose(o_4.H, o_j.H, atol=1e-5)
