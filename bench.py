@@ -39,26 +39,26 @@ def bench_diffusion(n: int, iters_cap: int):
 
     shape = (n, n, n)
 
-    @jax.jit
-    def iterate(Htp, Hp, k):
-        # temporally fused kernel: each call is TWO pseudo-time iterations
-        def body(i, carry):
-            Hp, acc = carry
-            Hp, sumsq = pallas3d.dual_time_step2_padded(Htp, Hp, shape, **kw)
-            return Hp, acc + sumsq
-        Hp, acc = jax.lax.fori_loop(0, k, body, (Hp, jnp.float32(0)))
-        return Hp, acc
+    K = 3  # temporally fused: K pseudo-time iterations per HBM pass,
+    # stacked state (Htau + Ht one array, output aliased onto the input)
 
-    Hp = pallas3d.pad3d2(Ht)
-    Ht = pallas3d.pad_ht2(Ht)
-    Hp, acc = iterate(Ht, Hp, 5)  # warmup + compile
+    @jax.jit
+    def iterate(state, k):
+        def body(i, carry):
+            st, acc = carry
+            st, sumsq = pallas3d.dual_time_stepk_stacked(st, shape, K=K, **kw)
+            return st, acc + sumsq
+        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
+
+    state = pallas3d.stack_state_k(Ht, Ht, K)
+    state, acc = iterate(state, 5)  # warmup + compile
     float(acc)
     t0 = time.time()
-    Hp, acc = iterate(Ht, Hp, iters_cap // 2)
+    state, acc = iterate(state, iters_cap // K)
     float(acc)
     dt_s = time.time() - t0
     res = diffusion_bench_results(
-        dt_s, 2 * (iters_cap // 2), n, n, n, word_bytes=4, model="shmem"
+        dt_s, K * (iters_cap // K), n, n, n, word_bytes=4, model="shmem"
     )
     return res
 
@@ -106,7 +106,7 @@ def main():
     jax.config.update("jax_enable_x64", True)
 
     n_diff = 128 if args.quick else 512
-    iters = 100 if args.quick else 300
+    iters = 99 if args.quick else 300  # multiple of the K=3 fusion depth
     res = bench_diffusion(n_diff, iters)
     teff = res.throughput / 1e9
 

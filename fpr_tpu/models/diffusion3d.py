@@ -70,8 +70,11 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
     elif fused2:
         from fpr_tpu.ops import pallas3d
 
-        def step(Ht_pad, Hp):
-            return pallas3d.dual_time_stepk_padded(Ht_pad, Hp, shape, K=K, **kw)
+        # stacked-state variant: Htau (plane-set 0) and Ht (plane-set 1) in
+        # one array; the kernel's output aliases its input, so Ht and the
+        # ghost planes persist with zero traffic
+        def step(Ht_unused, state):
+            return pallas3d.dual_time_stepk_stacked(state, shape, K=K, **kw)
     elif pallas:
         from fpr_tpu.ops import pallas3d
 
@@ -87,12 +90,12 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
         # Htau is ghost/tile-padded under the Pallas policies (the fused
         # kernel's native state layout), physical-shaped otherwise; under
         # PALLAS_DS both carries are stacked hi/lo pairs already in layout
-        if pallas:
+        if pallas and not fused2:
             from fpr_tpu.ops import pallas3d
 
-            Ht_in = pallas3d.pad_htk(Ht, K) if fused2 else pallas3d.pad_ht(Ht)
+            Ht_in = pallas3d.pad_ht(Ht)
         else:
-            Ht_in = Ht
+            Ht_in = Ht  # unused in the stacked (fused2) and ds tiers
 
         def cond(carry):
             _, err, it = carry
@@ -112,13 +115,15 @@ def _step_fn(cfg: DiffusionConfig, grid: Grid3D, total_n: int):
         )
         if ds_tier:
             Ht_new = Htau[:, 1 : 1 + cfg.nz]  # ds pair, kernel-ht layout
+        elif fused2:
+            # commit Ht <- Htau inside the stacked state (one copy per
+            # physical step); both carries are the committed state
+            Htau = Htau.at[1].set(Htau[0])
+            Ht_new = Htau
         elif pallas:
             from fpr_tpu.ops import pallas3d
 
-            Ht_new = (
-                pallas3d.unpad3dk(Htau, shape, K) if fused2
-                else pallas3d.unpad3d(Htau, shape)
-            )
+            Ht_new = pallas3d.unpad3d(Htau, shape)
         else:
             Ht_new = Htau
         return Ht_new, Htau, err, iters  # Ht' = Htau (commit, ref :203)
@@ -152,10 +157,15 @@ def solve(
 
         Htau = ds3d.to_ds_padded(Ht)
         Ht = Htau[:, 1 : 1 + cfg.nz]  # kernel-ht layout, ds pair
+    elif fused2:
+        from fpr_tpu.ops import pallas3d
+
+        Htau = pallas3d.stack_state_k(Ht, Ht, K)
+        Ht = Htau
     elif pallas:
         from fpr_tpu.ops import pallas3d
 
-        Htau = pallas3d.pad3dk(Ht, K) if fused2 else pallas3d.pad3d(Ht)
+        Htau = pallas3d.pad3d(Ht)
     else:
         Htau = Ht
 
@@ -187,6 +197,10 @@ def solve(
             Ht[0, :, : cfg.ny, : cfg.nx].astype(jnp.float64)
             + Ht[1, :, : cfg.ny, : cfg.nx].astype(jnp.float64)
         )
+    elif fused2:
+        from fpr_tpu.ops import pallas3d
+
+        H_out = np.asarray(pallas3d.unstack_state_k(Ht, (cfg.nz, cfg.ny, cfg.nx), K))
     else:
         H_out = np.asarray(Ht)
 

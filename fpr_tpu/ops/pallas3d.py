@@ -337,12 +337,9 @@ def _dual_timek_kernel(
     dtau_ = jnp.asarray(dtau, dtype)
     z0 = i * BZ
 
-    def sweep(prev, ht_c, gz0):
-        """prev: (m+2, nyp, nxp) planes with phys base gz0-1; returns the
-        updated m-plane window (phys base gz0) and its dH."""
-        center = prev[1:-1]
-        zm = prev[:-2]
-        zp = prev[2:]
+    def sweep(center, zm, zp, ht_c, gz0):
+        """center/zm/zp: m-plane windows with phys base gz0; returns the
+        updated m-plane window and its dH."""
         ym = _shift_y(center, -1)
         yp = _shift_y(center, +1)
         xm = _shift_x(center, -1)
@@ -366,12 +363,20 @@ def _dual_timek_kernel(
 
     # sweep j consumes a (BZ + 2(K-j) + 2)-plane window and produces the
     # (BZ + 2(K-j))-plane window with phys base z0 - (K-j); the ht slice
-    # for sweep j starts at ht-window row j-1
-    u = slab[0 : BZ + 2 * K, :, :]
-    dH = None
-    for j in range(1, K + 1):
+    # for sweep j starts at ht-window row j-1.  Sweep 1 slices the scratch
+    # REF (three overlapping lazy loads) rather than materializing the
+    # whole (BZ+2K)-window as a value — lower register pressure.
+    m = BZ + 2 * (K - 1)
+    u, dH = sweep(
+        slab[1 : 1 + m], slab[0:m], slab[2 : 2 + m],
+        ht[0:m], z0 - (K - 1),
+    )
+    for j in range(2, K + 1):
         m = BZ + 2 * (K - j)
-        u, dH = sweep(u, ht[j - 1 : j - 1 + m], z0 - (K - j))
+        u, dH = sweep(
+            u[1 : 1 + m], u[0:m], u[2 : 2 + m],
+            ht[j - 1 : j - 1 + m], z0 - (K - j),
+        )
     results[slot, :, :, :] = u
 
     @pl.when(i == 0)
@@ -493,6 +498,234 @@ def dual_time_step2_padded(
         Ht_padded2, Htau_padded2, shape, dt, dtau, dx, dy, dz, D,
         K=2, block_z=block_z, z_bounds=z_bounds,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stacked-state K-fused kernel: Htau and Ht in ONE HBM array
+# ---------------------------------------------------------------------------
+#
+# At 512^3 / BZ=8 the K-kernel runs 64 grid steps; each async-copy
+# start/wait costs ~8 us of scalar-core time, and with three streams the
+# scalar core is intermittently the critical path.  Stacking Htau (plane-
+# set 0) and Ht (plane-set 1) into one (2, nz+2K, nyp, nxp) array makes
+# the input ONE window DMA, and aliasing the output onto the input buffer
+# lets the constant Ht planes and the ghost planes persist with zero
+# copies — the kernel DMA-writes only the updated Htau block rows.
+
+
+def _dual_timek_stacked_kernel(
+    zbounds_ref, st_hbm, out_hbm, acc_ref,
+    slabs, results, sem_in, sem_out,
+    *, K, BZ, nz, ny, nx, nyp, nxp, dt, dtau, D, dx, dy, dz,
+):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    nslot = 1 - slot
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def copy_in(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            st_hbm.at[:, pl.ds(block * BZ, BZ + 2 * K), :, :], slabs.at[s], sem_in.at[s]
+        )
+
+    def copy_out(block, s):
+        # only plane-set 0 (Htau') is written; the aliased buffer keeps the
+        # Ht planes and ghosts without any traffic.  The plane-set index
+        # must be i32 explicitly (an int literal lowers to i64 under x64,
+        # which Mosaic's memref_slice rejects).
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            results.at[s],
+            out_hbm.at[_i32(0), pl.ds(block * BZ + K, BZ), :, :],
+            sem_out.at[s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy_in(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy_in(i + 1, nslot).start()
+
+    copy_in(i, slot).wait()
+
+    @pl.when(i >= 2)
+    def _():
+        copy_out(i - 2, slot).wait()
+
+    slab = slabs.at[slot]
+    dtype = jnp.dtype(st_hbm.dtype)
+    _dx2 = jnp.asarray(1.0 / (dx * dx), dtype)
+    _dy2 = jnp.asarray(1.0 / (dy * dy), dtype)
+    _dz2 = jnp.asarray(1.0 / (dz * dz), dtype)
+    _dt = jnp.asarray(1.0 / dt, dtype)
+    D_ = jnp.asarray(D, dtype)
+    dtau_ = jnp.asarray(dtau, dtype)
+    z0 = i * BZ
+
+    def sweep(center, zm, zp, ht_c, gz0):
+        ym = _shift_y(center, -1)
+        yp = _shift_y(center, +1)
+        xm = _shift_x(center, -1)
+        xp = _shift_x(center, +1)
+        lap = (
+            (xp - 2.0 * center + xm) * _dx2
+            + (yp - 2.0 * center + ym) * _dy2
+            + (zp - 2.0 * center + zm) * _dz2
+        )
+        dH = (center - ht_c) * _dt - D_ * lap
+        gz = gz0 + jax.lax.broadcasted_iota(jnp.int32, center.shape, 0)
+        gy = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+        gx = jax.lax.broadcasted_iota(jnp.int32, center.shape, 2)
+        interior = (
+            (gz >= zbounds_ref[0]) & (gz <= zbounds_ref[1])
+            & (gy > 0) & (gy < ny - 1)
+            & (gx > 0) & (gx < nx - 1)
+        )
+        dH = jnp.where(interior, dH, jnp.asarray(0.0, dtype))
+        return center - dtau_ * dH, dH
+
+    # window row w <-> physical z = i*BZ + w - K for BOTH plane sets; the
+    # ht slice for sweep j (output phys base z0 - (K-j)) starts at row j
+    m = BZ + 2 * (K - 1)
+    u, dH = sweep(
+        slab[0, 1 : 1 + m], slab[0, 0:m], slab[0, 2 : 2 + m],
+        slab[1, 1 : 1 + m], z0 - (K - 1),
+    )
+    for j in range(2, K + 1):
+        m = BZ + 2 * (K - j)
+        u, dH = sweep(
+            u[1 : 1 + m], u[0:m], u[2 : 2 + m],
+            slab[1, j : j + m], z0 - (K - j),
+        )
+    results[slot, :, :, :] = u
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = jnp.asarray(0.0, dtype)
+
+    acc_ref[0, 0] += jnp.sum(dH * dH)
+
+    copy_out(i, slot).start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            copy_out(i - 1, nslot).wait()
+
+        copy_out(i, slot).wait()
+
+
+@functools.lru_cache(maxsize=64)
+def _build_callk_stacked(shape, dtype_name, K, BZ, dt, dtau, dx, dy, dz, D, interpret):
+    nz, ny, nx = shape
+    nyp, nxp = _pad_yx(ny, nx)
+    dtype = jnp.dtype(dtype_name)
+    grid = (nz // BZ,)
+
+    kernel = functools.partial(
+        _dual_timek_stacked_kernel,
+        K=K, BZ=BZ, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp,
+        dt=dt, dtau=dtau, D=D, dx=dx, dy=dy, dz=dz,
+    )
+    word = dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nz + 2 * K, nyp, nxp), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        # the output IS the input buffer (donated): unwritten regions — the
+        # ghost planes and everything the block DMAs skip — persist
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, BZ + 2 * K, nyp, nxp), dtype),
+            pltpu.VMEM((2, BZ, nyp, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=K * 27 * nz * ny * nx,
+            bytes_accessed=4 * word * nz * ny * nx,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+def _pick_bz_stacked(nz: int, nyp: int, nxp: int, itemsize: int, K: int) -> int:
+    """Block depth for the stacked kernel: scratch (6BZ+8K planes) plus
+    Mosaic's sweep temporaries empirically total ~(10BZ + 16K) planes; the
+    whole envelope must fit the 127 MiB Mosaic limit (measured at 512^3:
+    K=3/BZ=8 fits and saturates HBM, K=4/BZ=8 overflows)."""
+    plane = nyp * nxp * itemsize
+    budget = 128 * 1024 * 1024
+    best = 1
+    for b in range(1, nz + 1):
+        if nz % b == 0 and (10 * b + 16 * K) * plane <= budget:
+            best = b
+    return best
+
+
+def stack_state_k(Ht, Htau, K=3):
+    """Physical Ht/Htau -> the stacked kernel state (2, nz+2K, ny8, nx128):
+    plane-set 0 = Htau, plane-set 1 = Ht, both K-ghost-padded alike."""
+    return jnp.stack([pad3dk(Htau, K), pad3dk(Ht, K)])
+
+
+def unstack_state_k(state, shape, K=3):
+    """Stacked state -> physical Htau."""
+    return unpad3dk(state[0], shape, K)
+
+
+def dual_time_stepk_stacked(
+    state, shape, dt, dtau, dx, dy, dz, D, K=3, block_z=None, z_bounds=None,
+):
+    """K fused pseudo-time iterations on stacked (Htau, Ht) state.
+
+    Returns (state', sumsq of the LAST iteration's dHdtau).  state' aliases
+    state's buffer on TPU (the Ht planes and ghosts are never re-copied);
+    per-grid-step DMA drops from 3 streams to 2.
+    """
+    nz, ny, nx = shape
+    nyp, nxp = _pad_yx(ny, nx)
+    interpret = not _on_tpu()
+    BZ = block_z or _pick_bz_stacked(nz, nyp, nxp, jnp.dtype(state.dtype).itemsize, K)
+    call = _build_callk_stacked(
+        tuple(shape), jnp.dtype(state.dtype).name, int(K), BZ,
+        float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
+        interpret,
+    )
+    if z_bounds is None:
+        zb = jnp.asarray([1, nz - 2], jnp.int32)
+    else:
+        zb = jnp.stack(
+            [jnp.asarray(z_bounds[0], jnp.int32), jnp.asarray(z_bounds[1], jnp.int32)]
+        )
+    out, acc = call(zb, state)
+    if interpret:
+        # the interpreter may not preserve unwritten regions of the aliased
+        # output: reconstruct them from the input (free on TPU)
+        out = state.at[0, K : K + nz].set(out[0, K : K + nz])
+    return out, acc[0, 0]
 
 
 @functools.lru_cache(maxsize=64)

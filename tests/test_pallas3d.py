@@ -135,3 +135,25 @@ def test_solver_fusedk_policy(rng):
     )
     assert abs(o_4.iters_total - o_j.iters_total) <= o_j.iters_total // 10 + 8
     np.testing.assert_allclose(o_4.H, o_j.H, atol=1e-5)
+
+
+@pytest.mark.parametrize("K", [2, 3])
+def test_fusedk_stacked_matches_k_steps(rng, K):
+    # stacked-state variant (one input DMA, output aliased to the input
+    # buffer) == K sequential iterations; ghosts/Ht persist across calls
+    shape = (12, 20, 24)
+    Ht = jnp.asarray(rng.random(shape))
+    Htau = jnp.asarray(rng.random(shape))
+    args = dict(dt=0.2, dtau=1e-3, dx=0.1, dy=0.11, dz=0.12, D=1.0)
+    state = pallas3d.stack_state_k(Ht, Htau, K)
+    r = Htau
+    for it in range(2):  # two calls: state must feed back correctly
+        s = None
+        for _ in range(K):
+            r, s = stencil3d.dual_time_step(Ht, r, **args)
+        state, sg = pallas3d.dual_time_stepk_stacked(state, shape, K=K, **args)
+        np.testing.assert_allclose(
+            np.asarray(pallas3d.unstack_state_k(state, shape, K)),
+            np.asarray(r), atol=1e-14,
+        )
+        assert abs(float(sg) - float(s)) / float(s) < 1e-12
