@@ -97,10 +97,25 @@ def bench_mg(n: int, tol: float):
     return best, int(it), rel_true
 
 
+def bench_ns():
+    """Explicit NS at the reference's full 2049x513 scale (Pr=0.01,
+    ttot=0.005, tol=1e-7): fused operator kernel + on-device time loop +
+    warm-started double-single multigrid.  Reference: 8736 timed steps in
+    1314 s on the Titan X-class GPU (BASELINE.md)."""
+    from fpr_tpu.core.config import NSConfig
+    from fpr_tpu.models.navier_stokes import simulate_fast
+
+    cfg = NSConfig(nx=2049, ny=513, ttot=0.005, beta=0.0, Pr=0.01,
+                   tol=1e-7, niters=50)
+    out = simulate_fast(cfg, seed=0)
+    return out.t_elapsed, out.timed_iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-mg", action="store_true")
+    ap.add_argument("--skip-ns", action="store_true")
     args = ap.parse_args()
 
     jax.config.update("jax_enable_x64", True)
@@ -128,6 +143,14 @@ def main():
             "mg_outer_iterations": mg_iters,
             "mg_true_f64_rel_residual": mg_rel,
             "mg_vs_v100_0.154s": 0.154 / mg_s if n_mg == 4097 else None,
+        })
+
+    if not (args.skip_ns or args.quick):
+        ns_s, ns_steps = bench_ns()
+        extras.update({
+            "ns_explicit_2049x513_Pr0.01_seconds": round(ns_s, 2),
+            "ns_timed_steps": ns_steps,
+            "ns_vs_reference_1314s": round(1314.0 / ns_s, 1),
         })
 
     out = {

@@ -93,10 +93,22 @@ def _needs_diffusion_term(beta: float) -> bool:
     return abs(beta - 1.0) > 1e-8
 
 
-def ns_step(T, W, S, cfg: NSConfig):
-    """One NS timestep; returns (T, W, S, dt).  Pure; jit with cfg static."""
+def ns_step(T, W, S, cfg: NSConfig, constrain=None):
+    """One NS timestep; returns (T, W, S, dt).  Pure; jit with cfg static.
+
+    constrain: optional GSPMD sharding hook (see multigrid.vcycle) — the
+    distributed NS path threads per-level placement through every solve;
+    requires mg_solver="direct" (the mixed/ds tiers are Pallas-based and
+    single-device).
+    """
     h = cfg.h
-    solve = mg_solve_mixed if cfg.mg_solver == "mixed" else mg_solve
+    if constrain is not None:
+        if cfg.mg_solver != "direct":
+            raise ValueError("sharded ns_step requires mg_solver='direct'")
+        solve = functools.partial(mg_solve, constrain=constrain)
+        T, W, S = constrain(T), constrain(W), constrain(S)
+    else:
+        solve = mg_solve_mixed if cfg.mg_solver == "mixed" else mg_solve
 
     # 1. streamfunction solve  nabla^2 S = W, Dirichlet 0 (part2.jl:187)
     S, _, _ = solve(S, W, h, 0.0, cfg.tol, cfg.niters, apply_bcs=False, cfg=cfg.mg)
@@ -156,17 +168,33 @@ def simulate(
     snapshot_every: int = 0,
     dtype=jnp.float64,
     seed: int = 0,
+    mesh=None,
+    shard_axis: str = "y",
 ) -> NSResult:
     """Run the simulation until sim_time >= ttot (part2.jl:181-250).
 
     max_steps=1 reproduces the reference's testmode (single full step).
     snapshot_every > 0 stores (T, W, S) every that-many steps (the
     reference's do_vis JLD snapshots, part2.jl:236-245).
+    mesh: optional jax.sharding.Mesh — run the whole step (all multigrid
+    solves included) row-sharded over the mesh via GSPMD (jnp tier,
+    mg_solver="direct"); beyond-reference: the reference's part 2 is
+    strictly single-GPU.
     """
     key = jax.random.PRNGKey(seed)
     T = init_field(cfg, cfg.T_init, key=key, dtype=dtype) if T0 is None else jnp.asarray(T0, dtype)
     W = init_field(cfg, cfg.W_init, key=key, dtype=dtype) if W0 is None else jnp.asarray(W0, dtype)
     S = jnp.zeros((cfg.ny, cfg.nx), dtype=dtype)
+
+    if mesh is not None:
+        from fpr_tpu.solvers.dist_multigrid import _make_constrain
+
+        con = _make_constrain(mesh, shard_axis, replicate_below=257)
+        step_fn = jax.jit(
+            functools.partial(ns_step, cfg=cfg, constrain=con)
+        )
+    else:
+        step_fn = functools.partial(ns_step_jit, cfg=cfg)
 
     snapshots = [] if snapshot_every else None
     sim_time = 0.0
@@ -175,7 +203,7 @@ def simulate(
     while sim_time < cfg.ttot:
         if step == 3:  # warmup exclusion (part2.jl:182-184)
             tic = time.time()
-        T, W, S, dt = ns_step_jit(T, W, S, cfg)
+        T, W, S, dt = step_fn(T, W, S)
         sim_time += float(dt)  # the one host sync per step
         step += 1
         if snapshot_every and (step - 1) % snapshot_every == 0:

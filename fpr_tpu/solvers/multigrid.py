@@ -98,10 +98,16 @@ def _coarse_solve(u, f, h, c, tol, cfg: MGConfig, smooth):
     return u, r_rms
 
 
-def vcycle(u, f, h, c, tol, cfg: MGConfig, apply_bcs: bool = False):
+def vcycle(u, f, h, c, tol, cfg: MGConfig, apply_bcs: bool = False,
+           constrain=None):
     """One V-cycle; returns (u, r_rms of the final fine-level smooth).
 
     Unrolled at trace time over the static level ladder.
+
+    constrain: optional trace-time hook ``constrain(array) -> array``
+    applied to every level's working arrays — the distributed solver
+    (fpr_tpu.solvers.dist_multigrid) injects per-level GSPMD sharding
+    constraints through it; None is a no-op.
     """
     from fpr_tpu.ops import transfer
 
@@ -113,6 +119,7 @@ def vcycle(u, f, h, c, tol, cfg: MGConfig, apply_bcs: bool = False):
         if cfg.resolved_restriction() is Restriction.FULL_WEIGHTING
         else transfer.restrict
     )
+    con = constrain if constrain is not None else (lambda a: a)
 
     def descend(u, f, h, depth):
         nyl, nxl = u.shape
@@ -126,14 +133,14 @@ def vcycle(u, f, h, c, tol, cfg: MGConfig, apply_bcs: bool = False):
 
         # restrict residual
         res = residual(u, f, h, c)
-        res_c = restrict(res, apply_bcs=apply_bcs)
+        res_c = con(restrict(res, apply_bcs=apply_bcs))
 
         # coarse correction (zero initial guess), recursive
         corr_c = jnp.zeros_like(res_c)
         corr_c, _ = descend(corr_c, res_c, h * 2.0, depth + 1)
 
         # prolongate and correct (subtract: res = A u - f)
-        corr_f = transfer.prolongate(corr_c, u.shape, apply_bcs=apply_bcs)
+        corr_f = con(transfer.prolongate(corr_c, u.shape, apply_bcs=apply_bcs))
         u = u - corr_f
 
         # post-smooth; measure the norm only on the top level's last smooth
@@ -158,13 +165,17 @@ def mg_solve(
     niters: int,
     apply_bcs: bool = False,
     cfg: MGConfig = MGConfig(),
+    constrain=None,
 ):
     """Iterate V-cycles until r_rms < tol * rms(f) (MGsolve_2DPoisson!,
     multigrid.jl:41-84).  Returns (u, r_rms, iterations).
 
     Fully jit-compatible; the convergence loop is a lax.while_loop carrying
-    (u, r_rms, iter) with no host syncs.
+    (u, r_rms, iter) with no host syncs.  ``constrain`` (see ``vcycle``)
+    threads per-level GSPMD sharding hints through for the distributed
+    solver.
     """
+    con = constrain if constrain is not None else (lambda a: a)
     f_rms = stencil2d.rms(f)
     tolf = tol * f_rms
 
@@ -176,8 +187,10 @@ def mg_solve(
         u, _, it = carry
         if apply_bcs:
             u = bc.ns_temperature_bcs(u)
-        u, r_rms = vcycle(u, f, h, c, tol, cfg, apply_bcs=apply_bcs)
-        return u, r_rms, it + 1
+        u, r_rms = vcycle(
+            u, f, h, c, tol, cfg, apply_bcs=apply_bcs, constrain=constrain
+        )
+        return con(u), r_rms, it + 1
 
     u, r_rms, it = jax.lax.while_loop(
         cond,
