@@ -50,9 +50,11 @@ def cmd_diffusion3d(args):
     if args.f64 and policy is ExecutionPolicy.PALLAS and jax.default_backend() == "tpu":
         print("note: Mosaic has no f64; using the jnp tier for --f64 on TPU")
         policy = ExecutionPolicy.JNP
+    if policy is ExecutionPolicy.PALLAS_DS:
+        jax.config.update("jax_enable_x64", True)
     cfg = DiffusionConfig(
         nx=args.n, ny=args.n, nz=args.n, ttot=args.ttot, tol=args.tol,
-        policy=policy,
+        policy=policy, check_every=args.check_every,
         scale_physical_size=args.scale_physical_size,
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
@@ -86,10 +88,13 @@ def cmd_ns(args):
         mg=MGConfig(policy=ExecutionPolicy(args.policy)),
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
-    out = ns.simulate(
-        cfg, verbose=args.verbose, max_steps=args.max_steps, dtype=dtype,
-        snapshot_every=args.snapshot_every,
-    )
+    if args.fast:
+        out = ns.simulate_fast(cfg, verbose=args.verbose, max_steps=args.max_steps)
+    else:
+        out = ns.simulate(
+            cfg, verbose=args.verbose, max_steps=args.max_steps, dtype=dtype,
+            snapshot_every=args.snapshot_every,
+        )
     print(
         f"steps: {out.steps}  sim_time: {out.sim_time:.6f}  "
         f"timed: {out.t_elapsed:.3f}s  T in [{out.T.min():.3f}, {out.T.max():.3f}]"
@@ -131,6 +136,11 @@ def cmd_mg(args):
 
     if args.solver == "mixed":
         solve = lambda: multigrid.mg_solve_mixed_jit(u0, b, h, 0.0, args.tol, 30, cfg=cfg)
+    elif args.solver == "ds":
+        b = b.astype(jnp.float32)
+        solve = lambda: multigrid.mg_solve_ds_jit(b, h, 0.0, args.tol, 30, cfg=cfg, return_pair=True)
+        _orig = solve
+        solve = lambda: (lambda pair, r, it: (pair[0], r, it))(*_orig())
     else:
         solve = lambda: multigrid.mg_solve_jit(u0, b, h, 0.0, args.tol, 30, cfg=cfg)
     u, r, it = solve()
@@ -162,7 +172,16 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=128)
     p.add_argument("--ttot", type=float, default=1.0)
     p.add_argument("--tol", type=float, default=1e-8)
-    p.add_argument("--policy", choices=["jnp", "pallas"], default="pallas")
+    p.add_argument(
+        "--policy", choices=["jnp", "pallas", "pallas_ds"], default="pallas",
+        help="pallas_ds: double-single (~48-bit) kernel tier for tolerances "
+        "below the f32 floor",
+    )
+    p.add_argument(
+        "--check-every", type=int, default=1,
+        help="pallas only: fuse K pseudo-time iterations per HBM pass "
+        "(convergence checked every K); K=3 is the 512^3 headline config",
+    )
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--scale-physical-size", action="store_true")
     p.add_argument("--bench", action="store_true")
@@ -182,6 +201,11 @@ def main(argv=None):
     p.add_argument("--policy", choices=["jnp", "pallas"], default="jnp")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--snapshot-every", type=int, default=0)
+    p.add_argument(
+        "--fast", action="store_true",
+        help="fused-kernel on-device-loop path (simulate_fast): f32 state, "
+        "double-single multigrid — the TPU production configuration",
+    )
     p.add_argument("--save", type=str, default=None)
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_ns)
@@ -193,9 +217,10 @@ def main(argv=None):
     p.add_argument("--coarse", choices=["jacobi", "cg"], default="jacobi")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument(
-        "--solver", choices=["direct", "mixed"], default="direct",
+        "--solver", choices=["direct", "mixed", "ds"], default="direct",
         help="direct: single-precision-path mg_solve; mixed: f64 defect "
-        "correction around f32 Pallas V-cycles",
+        "correction around f32 Pallas V-cycles; ds: all-f32 double-single "
+        "defect correction (the benchmark headline path)",
     )
     p.set_defaults(fn=cmd_mg)
 
