@@ -33,13 +33,22 @@ def main():
     from fpr_tpu.utils.io import append_csv_row, csv_has_row
 
     backend = jax.default_backend()
+    # three tiers: array programming, fused kernel, temporally-fused (K=3)
+    # kernel — the analog of the reference's array / kernel / kernel+shmem
+    # columns, plus the fusion depth the reference cannot express
+    variants = [
+        (ExecutionPolicy.JNP, 1, "jnp"),
+        (ExecutionPolicy.PALLAS, 1, "pallas"),
+        (ExecutionPolicy.PALLAS, 3, "pallas_k3"),
+    ]
     for e in np.arange(4.0, args.max_e + 0.25, 0.5):
         n = int(round(2**e))
-        for policy in (ExecutionPolicy.JNP, ExecutionPolicy.PALLAS):
+        for policy, check_every, label in variants:
             cfg = DiffusionConfig(
-                nx=n, ny=n, nz=n, ttot=args.ttot, tol=args.tol, policy=policy
+                nx=n, ny=n, nz=n, ttot=args.ttot, tol=args.tol, policy=policy,
+                check_every=check_every,
             )
-            key = dict(n=n, policy=policy.value, backend=backend)
+            key = dict(n=n, policy=label, backend=backend)
             if csv_has_row(args.out, key):
                 print(f"skip (cached): {key}")
                 continue
