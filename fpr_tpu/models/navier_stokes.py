@@ -266,26 +266,30 @@ def _rms_phys(a_rp, ny, nx):
     return jnp.sqrt(jnp.sum(w * w) / (nx * ny))
 
 
-def _fast_step(TW, S_ds, cfg: NSConfig, br):
-    """One fused NS step on row-padded f32 state.  Returns (TW', S_ds', dt)."""
+def _fast_step(TW, S_ds, w_sumsq, cfg: NSConfig, br):
+    """One fused NS step on row-padded f32 state.
+
+    w_sumsq carries sum(W^2) over the physical domain, accumulated
+    in-kernel by the previous step (the S-solve tolerance tol*rms(W) then
+    needs no reduction pass); the velocity maxima for the adaptive dt come
+    out of the S-solve's defect kernel the same way.
+    Returns (TW', S_ds', w_sumsq', dt).
+    """
     from fpr_tpu.ops import pallas_ns
-    from fpr_tpu.ops.pallas2d import PAD
 
     ny, nx, h = cfg.ny, cfg.nx, cfg.h
     f32 = jnp.float32
+    n_cells = jnp.asarray(float(nx * ny), f32)
 
-    # 1. streamfunction solve  nabla^2 S = W (part2.jl:187), warm-started
-    tolf = cfg.tol * _rms_phys(TW[1], ny, nx)
-    S_ds, _, _ = mg_solve_ds_rp(
+    # 1. streamfunction solve  nabla^2 S = W (part2.jl:187), warm-started;
+    # the defect kernel accumulates max|dS/dy|, max|dS/dx| of the final S
+    tolf = cfg.tol * jnp.sqrt(w_sumsq / n_cells)
+    S_ds, _, _, (ax, ay, _) = mg_solve_ds_rp(
         S_ds, TW[1:2], tolf, ny, nx, h, 0.0, cfg.niters,
-        cfg=cfg.mg, inner_cycles=1, tol=cfg.tol,
+        cfg=cfg.mg, inner_cycles=1, tol=cfg.tol, velocity_max=True,
     )
 
-    # 2.-3. velocity maxima -> adaptive dt (part2.jl:76-87, on device)
-    s = S_ds[0, PAD : PAD + ny, :nx]
-    inv2h = jnp.asarray(0.5 / h, f32)
-    ax = jnp.max(jnp.abs((s[2:, 1:-1] - s[:-2, 1:-1]) * inv2h))
-    ay = jnp.max(jnp.abs((s[1:-1, 2:] - s[1:-1, :-2]) * inv2h))
+    # 2.-3. adaptive dt (part2.jl:76-87, on device)
     dt_adv = jnp.asarray(cfg.a_adv, f32) * jnp.minimum(h / ax, h / ay)
     if cfg.beta >= 0.5:
         dt = dt_adv
@@ -297,50 +301,52 @@ def _fast_step(TW, S_ds, cfg: NSConfig, br):
     if _semi_implicit(cfg.beta):
         cT = 1.0 / (jnp.asarray(cfg.beta, f32) * dt)
         cW = cT / jnp.asarray(cfg.Pr, f32)
-        rhs = pallas_ns.ns_fused_rp(
+        rhs, (trhs_ss, wrhs_ss) = pallas_ns.ns_fused_rp(
             TW, S_ds[0], dt, ny, nx, br, h, cfg.Pr, cfg.Ra,
             k=cfg.k, beta=cfg.beta, mode="rhs", cT=cT, cW=cW,
+            with_sumsq=True,
         )
         zeros = jnp.zeros_like(TW[0])
-        tolT = cfg.tol * _rms_phys(rhs[0], ny, nx)
+        tolT = cfg.tol * jnp.sqrt(trhs_ss / n_cells)
         T_ds, _, _ = mg_solve_ds_rp(
             jnp.stack([TW[0], zeros]), rhs[0:1], tolT, ny, nx, h, cT,
             cfg.niters, cfg=cfg.mg, inner_cycles=1, apply_bcs=True,
             tol=cfg.tol,
         )
-        tolW = cfg.tol * _rms_phys(rhs[1], ny, nx)
-        W_ds, _, _ = mg_solve_ds_rp(
+        tolW = cfg.tol * jnp.sqrt(wrhs_ss / n_cells)
+        W_ds, _, _, (_, _, w_sumsq) = mg_solve_ds_rp(
             jnp.stack([TW[1], zeros]), rhs[1:2], tolW, ny, nx, h, cW,
             cfg.niters, cfg=cfg.mg, inner_cycles=1, tol=cfg.tol,
+            field_sumsq=True,
         )
         TW = jnp.stack([T_ds[0], W_ds[0]])
     else:
-        TW = pallas_ns.ns_fused_rp(
+        TW, (_, w_sumsq) = pallas_ns.ns_fused_rp(
             TW, S_ds[0], dt, ny, nx, br, h, cfg.Pr, cfg.Ra,
-            k=cfg.k, beta=cfg.beta, mode="explicit",
+            k=cfg.k, beta=cfg.beta, mode="explicit", with_sumsq=True,
         )
-    return TW, S_ds, dt
+    return TW, S_ds, w_sumsq, dt
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "br"))
-def _fast_loop(TW, S_ds, th, tl, step, limit, cfg: NSConfig, br):
+def _fast_loop(TW, S_ds, w_ss, th, tl, step, limit, cfg: NSConfig, br):
     """Run fused steps while sim_time < ttot and step < limit (traced)."""
     from fpr_tpu.ops import ds as dsm
 
     tt_hi, tt_lo = _f32_pair(cfg.ttot)
 
     def cond(carry):
-        _, _, th, tl, step = carry
+        _, _, _, th, tl, step = carry
         dh, dl = dsm.ds_add(th, tl, jnp.float32(-tt_hi), jnp.float32(-tt_lo))
         return (dh < 0.0) & (step < limit)
 
     def body(carry):
-        TW, S_ds, th, tl, step = carry
-        TW, S_ds, dt = _fast_step(TW, S_ds, cfg, br)
+        TW, S_ds, w_ss, th, tl, step = carry
+        TW, S_ds, w_ss, dt = _fast_step(TW, S_ds, w_ss, cfg, br)
         th, tl = dsm.ds_add(th, tl, dt, jnp.float32(0.0))
-        return TW, S_ds, th, tl, step + 1
+        return TW, S_ds, w_ss, th, tl, step + 1
 
-    return jax.lax.while_loop(cond, body, (TW, S_ds, th, tl, step))
+    return jax.lax.while_loop(cond, body, (TW, S_ds, w_ss, th, tl, step))
 
 
 def simulate_fast(
@@ -372,6 +378,7 @@ def simulate_fast(
     br = pallas2d._pick_br(ny, nx, 4)
     TW = jnp.stack([pallas2d.pad2d(T, br), pallas2d.pad2d(W, br)])
     S_ds = jnp.zeros((2,) + TW.shape[1:], f32)
+    w_ss = jnp.sum(W * W).astype(f32)  # once; carried in-kernel thereafter
     th = jnp.asarray(0.0, f32)
     tl = jnp.asarray(0.0, f32)
     step = jnp.asarray(0, jnp.int32)
@@ -381,13 +388,17 @@ def simulate_fast(
 
     # warmup chunk (steps 1-3 excluded from timing, part2.jl:182-184)
     warm = jnp.minimum(jnp.asarray(3, jnp.int32), hard_cap)
-    TW, S_ds, th, tl, step = _fast_loop(TW, S_ds, th, tl, step, warm, cfg, br)
+    TW, S_ds, w_ss, th, tl, step = _fast_loop(
+        TW, S_ds, w_ss, th, tl, step, warm, cfg, br
+    )
     jax.block_until_ready(TW)
     float(th)  # force the scalar through (tunnel-safe sync)
     tic = time.time()
     while True:
         limit = jnp.minimum(step + jnp.asarray(chunk_steps, jnp.int32), hard_cap)
-        TW, S_ds, th, tl, step = _fast_loop(TW, S_ds, th, tl, step, limit, cfg, br)
+        TW, S_ds, w_ss, th, tl, step = _fast_loop(
+            TW, S_ds, w_ss, th, tl, step, limit, cfg, br
+        )
         sim_time = float(th) + float(tl)  # the sync that stops the clock
         if sim_time >= cfg.ttot or int(step) >= int(hard_cap):
             break

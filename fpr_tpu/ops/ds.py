@@ -140,6 +140,7 @@ def _defect_kernel(
     scal_ref, u_hbm, f_hbm, e_hbm, uout_hbm, r32_hbm, acc_ref,
     uslabs, fbufs, ebufs, ures, rres, sem_u, sem_f, sem_e, sem_uo, sem_r,
     *, BR, ny, nx, nxp, inv_h2, c_zero, with_update, apply_bcs, f_single,
+    velocity_max, field_sumsq, inv2h,
 ):
     """One grid step: ds update + ds residual + norm on a BR-row block.
 
@@ -305,8 +306,34 @@ def _defect_kernel(
     @pl.when(i == 0)
     def _():
         acc_ref[0, 0] = jnp.asarray(0.0, jnp.float32)
+        if velocity_max:
+            acc_ref[1, 0] = jnp.asarray(0.0, jnp.float32)
+            acc_ref[2, 0] = jnp.asarray(0.0, jnp.float32)
+        if field_sumsq:
+            acc_ref[3, 0] = jnp.asarray(0.0, jnp.float32)
 
     acc_ref[0, 0] += jnp.sum(r * r)
+
+    if field_sumsq:
+        # sum of the updated field's squares (hi part; pads are zero), so a
+        # consumer needing tol*rms(u') skips a standalone reduction pass
+        acc_ref[3, 0] += jnp.sum(uh[blk, :] * uh[blk, :])
+
+    if velocity_max:
+        # curl maxima of the UPDATED field (the NS adaptive-dt inputs,
+        # part2.jl:76-87): vx = dS/dy (row shift), vy = -dS/dx (col shift),
+        # evaluated on the interior — this replaces two standalone XLA
+        # reduction passes per NS step with free VPU work on data already
+        # in registers.  The halo rows make the row shifts exact.
+        i2h = jnp.asarray(inv2h, jnp.float32)
+        vx = (uh[PAD + 1 : PAD + 1 + BR, :] - uh[PAD - 1 : PAD - 1 + BR, :]) * i2h
+        lf = jnp.concatenate([uh[blk, :1], uh[blk, :-1]], axis=1)
+        rt = jnp.concatenate([uh[blk, 1:], uh[blk, -1:]], axis=1)
+        vy = (rt - lf) * i2h
+        vx = jnp.where(interior, jnp.abs(vx), jnp.asarray(0.0, jnp.float32))
+        vy = jnp.where(interior, jnp.abs(vy), jnp.asarray(0.0, jnp.float32))
+        acc_ref[1, 0] = jnp.maximum(acc_ref[1, 0], jnp.max(vx))
+        acc_ref[2, 0] = jnp.maximum(acc_ref[2, 0], jnp.max(vy))
 
     copy_uo(i, slot).start()
     copy_r(i, slot).start()
@@ -324,7 +351,8 @@ def _defect_kernel(
 
 @functools.lru_cache(maxsize=128)
 def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
-                  apply_bcs=False, f_single=False):
+                  apply_bcs=False, f_single=False, velocity_max=False,
+                  field_sumsq=False, inv2h=0.0):
     total = padded_rows(ny, layout_br)
     nxp = padded_cols(nx)
     # the ds kernel keeps ~15 live (E, nxp) f32 planes (5 double-buffered
@@ -339,6 +367,7 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
         BR=BR, ny=ny, nx=nx, nxp=nxp,
         inv_h2=inv_h2, c_zero=c_zero, with_update=with_update,
         apply_bcs=apply_bcs, f_single=f_single,
+        velocity_max=velocity_max, field_sumsq=field_sumsq, inv2h=inv2h,
     )
     f32 = jnp.float32
     fplanes = 1 if f_single else 2
@@ -354,12 +383,12 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
         out_specs=[
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, total, nxp), f32),
             jax.ShapeDtypeStruct((total, nxp), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((4, 1), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 2, BR + 2 * PAD, nxp), f32),
@@ -386,7 +415,8 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
 
 
 def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
-                apply_bcs=False, f_single=False):
+                apply_bcs=False, f_single=False, velocity_max=False,
+                field_sumsq=False):
     """Fused: u' = u - scale*e (ds), [BCs(u')], r = A u' - f (ds), sumsq(r_hi).
 
     u_ds: (2, padded_rows, padded_cols) f32 hi/lo stack; f_ds likewise, or
@@ -402,6 +432,8 @@ def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
     call = _build_defect(
         ny, nx, br, inv_h2, c_zero, with_update, not _on_tpu(),
         apply_bcs=bool(apply_bcs), f_single=bool(f_single),
+        velocity_max=bool(velocity_max), field_sumsq=bool(field_sumsq),
+        inv2h=0.5 / float(h),
     )
     # C = 4 + c h^2 split to a ds scalar: in f64 at trace time if c is a
     # Python scalar; via f64 rounding if c is a traced f64; via error-free
@@ -429,4 +461,7 @@ def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
     ).reshape(3, 1)
     u_out, r32, acc = call(scal, u_ds, f_ds, e_rp)
     r_rms = jnp.sqrt(acc[0, 0] / (nx * ny))
+    if velocity_max or field_sumsq:
+        # extras: (max|vx|, max|vy|, sumsq(u'_hi)) — zeros when not computed
+        return u_out, r32, r_rms, (acc[1, 0], acc[2, 0], acc[3, 0])
     return u_out, r32, r_rms

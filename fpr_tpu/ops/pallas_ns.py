@@ -55,7 +55,7 @@ from fpr_tpu.ops.pallas2d import (
 
 
 def _ns_kernel(
-    scal_ref, tw_hbm, s_hbm, out_hbm,
+    scal_ref, tw_hbm, s_hbm, out_hbm, acc_ref,
     twslabs, sslabs, results, sem_tw, sem_s, sem_out,
     *, BR, ny, nx, nxp, h, Pr, Ra, k, beta, mode,
 ):
@@ -200,8 +200,21 @@ def _ns_kernel(
         W_out = jnp.where(phys, -cW * (W + dt * termW), zero)
 
     blk = slice(PAD, PAD + BR)
-    results[slot, 0, :, :] = T_out[blk, :]
-    results[slot, 1, :, :] = W_out[blk, :]
+    T_blk = T_out[blk, :]
+    W_blk = W_out[blk, :]
+    results[slot, 0, :, :] = T_blk
+    results[slot, 1, :, :] = W_blk
+
+    # field sums of squares (zero outside the physical domain, so the block
+    # sums equal physical-domain sums): the NS loop's multigrid tolerances
+    # tol*rms(field) then need no standalone XLA reduction pass
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = jnp.asarray(0.0, dtype)
+        acc_ref[1, 0] = jnp.asarray(0.0, dtype)
+
+    acc_ref[0, 0] += jnp.sum(T_blk * T_blk)
+    acc_ref[1, 0] += jnp.sum(W_blk * W_blk)
     copy_out(i, slot).start()
 
     @pl.when(i == n_blocks - 1)
@@ -239,10 +252,16 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY
-        ),
-        out_shape=jax.ShapeDtypeStruct((2, total, nxp), dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY
+            ),
+            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, total, nxp), dtype),
+            jax.ShapeDtypeStruct((2, 1), dtype),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, 2, BR + 2 * PAD, nxp), dtype),
             pltpu.VMEM((2, BR + 2 * PAD, nxp), dtype),
@@ -264,13 +283,15 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
 
 
 def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
-                mode="explicit", cT=None, cW=None):
+                mode="explicit", cT=None, cW=None, with_sumsq=False):
     """Fused NS operator pass on row-padded operands.
 
     tw_rp: (2, total, nxp) stacked T/W; s_rp: (total, nxp) streamfunction.
     dt (and cT, cW in rhs mode) are runtime scalars.  Returns the stacked
     (2, total, nxp) result: (T', W') in explicit mode, (T_rhs, W_rhs) in
-    rhs mode.
+    rhs mode.  with_sumsq=True additionally returns the two output fields'
+    sums of squares (SMEM-accumulated — the multigrid tolerances
+    tol*rms(field) then need no separate reduction pass).
     """
     dtype = tw_rp.dtype
     call = _build_ns(
@@ -284,4 +305,7 @@ def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
         z if cT is None else jnp.asarray(cT, dtype),
         z if cW is None else jnp.asarray(cW, dtype),
     ]).reshape(3, 1)
-    return call(scal, tw_rp, s_rp)
+    out, acc = call(scal, tw_rp, s_rp)
+    if with_sumsq:
+        return out, (acc[0, 0], acc[1, 0])
+    return out

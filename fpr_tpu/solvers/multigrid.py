@@ -442,6 +442,8 @@ def mg_solve_ds_rp(
     apply_bcs: bool = False,
     r0=None,
     tol: float = 1e-7,
+    velocity_max: bool = False,
+    field_sumsq: bool = False,
 ):
     """Row-padded core of the double-single defect-correction solver.
 
@@ -457,9 +459,15 @@ def mg_solve_ds_rp(
       each outer iteration (and through the V-cycle transfers), mirroring
       mg_solve_mixed's per-iteration BC application (multigrid.jl:60-62).
     - r0: optionally, a precomputed initial defect (r32_rp, r_rms) — e.g.
-      -f for a zero guess without BCs.
+      -f for a zero guess without BCs (incompatible with the extras flags,
+      which need every pass to run through the kernel).
+    - velocity_max / field_sumsq: accumulate max|curl u'| components and
+      sumsq(u'_hi) inside the defect kernel; the LAST pass's values
+      describe the returned iterate.  The NS fast loop consumes these in
+      place of standalone XLA reduction passes.
 
-    Returns (u_ds', r_rms, outer_iterations).
+    Returns (u_ds', r_rms, outer_iterations) — plus an extras tuple
+    (max_vx, max_vy, sumsq) when either flag is set.
     """
     from fpr_tpu.ops import ds as dsm
     from fpr_tpu.ops import pallas2d
@@ -469,39 +477,51 @@ def mg_solve_ds_rp(
     nxp = pallas2d.padded_cols(nx)
     f_single = f_ds.shape[0] == 1
     tolf = jnp.asarray(tolf, jnp.float32)
+    extras_on = velocity_max or field_sumsq
+    if extras_on and r0 is not None:
+        raise ValueError("extras flags need the initial defect pass (r0=None)")
+    kw = dict(apply_bcs=apply_bcs, f_single=f_single,
+              velocity_max=velocity_max, field_sumsq=field_sumsq)
 
     zero_e = jnp.zeros((total, nxp), jnp.float32)
     if u_ds is None:
         u_ds = jnp.zeros((2, total, nxp), jnp.float32)
     if r0 is not None:
         r32, r_rms = r0
+        extras = ()
     else:
         # initial defect (scale = 0: the Dekker product with 0 is exactly 0)
-        u_ds, r32, r_rms = dsm.defect_pass(
-            u_ds, f_ds, zero_e, 0.0, ny, nx, br, h, c,
-            apply_bcs=apply_bcs, f_single=f_single,
-        )
+        out = dsm.defect_pass(u_ds, f_ds, zero_e, 0.0, ny, nx, br, h, c, **kw)
+        if extras_on:
+            u_ds, r32, r_rms, extras = out
+        else:
+            u_ds, r32, r_rms = out
+            extras = ()
 
     def cond(carry):
-        _, _, r_rms, it = carry
+        _, _, r_rms, _, it = carry
         return jnp.logical_and(it < niters, r_rms >= tolf)
 
     def body(carry):
-        u_ds, r32, _, it = carry
+        u_ds, r32, _, _, it = carry
         e_rp = zero_e
         for _ in range(inner_cycles):
             e_rp, _ = vcycle_rp(
                 e_rp, r32, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs
             )
-        u_ds, r32, r_rms = dsm.defect_pass(
-            u_ds, f_ds, e_rp, 1.0, ny, nx, br, h, c,
-            apply_bcs=apply_bcs, f_single=f_single,
-        )
-        return u_ds, r32, r_rms, it + 1
+        out = dsm.defect_pass(u_ds, f_ds, e_rp, 1.0, ny, nx, br, h, c, **kw)
+        if extras_on:
+            u_ds, r32, r_rms, ex = out
+        else:
+            u_ds, r32, r_rms = out
+            ex = ()
+        return u_ds, r32, r_rms, ex, it + 1
 
-    u_ds, _, r_rms, it = jax.lax.while_loop(
-        cond, body, (u_ds, r32, r_rms, jnp.asarray(0, jnp.int32))
+    u_ds, _, r_rms, extras, it = jax.lax.while_loop(
+        cond, body, (u_ds, r32, r_rms, extras, jnp.asarray(0, jnp.int32))
     )
+    if extras_on:
+        return u_ds, r_rms, it, extras
     return u_ds, r_rms, it
 
 
