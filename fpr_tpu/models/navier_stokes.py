@@ -314,12 +314,18 @@ def _fast_step(TW, S_ds, w_sumsq, cfg: NSConfig, br):
             tol=cfg.tol,
         )
         tolW = cfg.tol * jnp.sqrt(wrhs_ss / n_cells)
-        W_ds, _, _, (_, _, w_sumsq) = mg_solve_ds_rp(
+        W_ds, _, _ = mg_solve_ds_rp(
             jnp.stack([TW[1], zeros]), rhs[1:2], tolW, ny, nx, h, cW,
             cfg.niters, cfg=cfg.mg, inner_cycles=1, tol=cfg.tol,
-            field_sumsq=True,
         )
         TW = jnp.stack([T_ds[0], W_ds[0]])
+        # next step's S-solve tolerance: one XLA reduction here beats
+        # paying the in-kernel accumulator on EVERY cold-solve defect pass
+        # (measured: per-pass extras cost ~20% on the semi path)
+        from fpr_tpu.ops.pallas2d import PAD
+
+        w = TW[1, PAD : PAD + ny, :nx]
+        w_sumsq = jnp.sum(w * w)
     else:
         TW, (_, w_sumsq) = pallas_ns.ns_fused_rp(
             TW, S_ds[0], dt, ny, nx, br, h, cfg.Pr, cfg.Ra,

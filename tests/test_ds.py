@@ -230,3 +230,32 @@ def test_ds3d_dual_time_matches_f64(rng):
     # residual trajectory well below the 1e-9 stopping threshold
     assert got.iters_total == ref.iters_total
     np.testing.assert_allclose(got.H, ref.H, atol=2e-10)
+
+
+def test_defect_pass_extras(rng):
+    """velocity_max and field_sumsq accumulators must match the XLA
+    computations they replace in the NS fast loop."""
+    ny, nx = 65, 129
+    h = 1.0 / 64
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    f = jnp.asarray(rng.standard_normal((ny, nx)))
+    br = pallas2d._pick_br(ny, nx, 4)
+
+    def pack(a):
+        hi, lo = dsm.to_ds(a)
+        return jnp.stack([pallas2d.pad2d(hi, br), pallas2d.pad2d(lo, br)])
+
+    e = jnp.zeros(
+        (pallas2d.padded_rows(ny, br), pallas2d.padded_cols(nx)), jnp.float32
+    )
+    u_out, r32, r_rms, (ax, ay, ss) = dsm.defect_pass(
+        pack(u), pack(f), e, 0.0, ny, nx, br, h, 0.0,
+        velocity_max=True, field_sumsq=True,
+    )
+    uh = np.asarray(u, np.float32)
+    inv2h = np.float32(0.5 / h)
+    vx = np.abs((uh[2:, 1:-1] - uh[:-2, 1:-1]) * inv2h)
+    vy = np.abs((uh[1:-1, 2:] - uh[1:-1, :-2]) * inv2h)
+    assert float(ax) == pytest.approx(float(vx.max()), rel=1e-6)
+    assert float(ay) == pytest.approx(float(vy.max()), rel=1e-6)
+    assert float(ss) == pytest.approx(float((uh.astype(np.float64) ** 2).sum()), rel=1e-5)
