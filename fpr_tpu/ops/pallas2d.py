@@ -290,7 +290,7 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
 def _smooth2r_kernel(
     c_ref, u_hbm, f_hbm, out_hbm,
     slabs, fbufs, results, sem_u, sem_f, sem_out,
-    *, BR, ny, nx, nxp, h, alpha, split_res,
+    *, BR, ny, nx, nxp, h, alpha, split_res, zero_u=False,
 ):
     """Fused V-cycle downward leg: two chained damped-Jacobi sweeps AND the
     post-pair residual in one HBM pass (one kernel call instead of three —
@@ -334,24 +334,26 @@ def _smooth2r_kernel(
 
     @pl.when(i == 0)
     def _():
-        copy_u(0, 0).start()
+        if not zero_u:
+            copy_u(0, 0).start()
         copy_f(0, 0).start()
 
     @pl.when(i + 1 < n_blocks)
     def _():
-        copy_u(i + 1, nslot).start()
+        if not zero_u:
+            copy_u(i + 1, nslot).start()
         copy_f(i + 1, nslot).start()
 
-    copy_u(i, slot).wait()
+    if not zero_u:
+        copy_u(i, slot).wait()
     copy_f(i, slot).wait()
 
     @pl.when(i >= 2)
     def _():
         copy_out(i - 2, slot).wait()
 
-    U = slabs[slot, :, :]
     F = fbufs[slot, :, :]
-    dtype = U.dtype
+    dtype = F.dtype
     c = c_ref[0, 0]
     C = jnp.asarray(4.0, dtype) + c * jnp.asarray(h * h, dtype)
     _h2 = jnp.asarray(1.0 / (h * h), dtype)
@@ -370,7 +372,14 @@ def _smooth2r_kernel(
             interior, (vm + vp + vl + vr - C * V) * _h2 - F, jnp.asarray(0.0, dtype)
         )
 
-    u1 = U + w * res_of(U)          # valid rows 1..E-2
+    if zero_u:
+        # u == 0 structurally (coarse corrections / defect-correction
+        # top level): res_of(0) = -F on the interior, bitwise-identically
+        res1 = jnp.where(interior, -F, jnp.asarray(0.0, dtype))
+        u1 = w * res1
+    else:
+        U = slabs[slot, :, :]
+        u1 = U + w * res_of(U)      # valid rows 1..E-2
     u2 = u1 + w * res_of(u1)        # valid rows 2..E-3 (PAD=8 >> 2)
     res = res_of(u2)                # valid rows 3..E-4; block rows are PAD..
 
@@ -396,7 +405,8 @@ def _smooth2r_kernel(
 
 
 @functools.lru_cache(maxsize=256)
-def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False):
+def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
+               zero_u=False):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
@@ -404,6 +414,7 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False):
     kernel = functools.partial(
         _smooth2r_kernel,
         BR=BR, ny=ny, nx=nx, nxp=nxp, h=h, alpha=alpha, split_res=split_res,
+        zero_u=zero_u,
     )
     return pl.pallas_call(
         kernel,
@@ -453,14 +464,19 @@ def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
     return out[0], out[1]
 
 
-def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
+def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False):
     """smooth2r with the residual plane parity-split per block ([even rows;
     odd rows]) — the V-cycle fast path.  Returns (u_rp'', res_ps) where
     res_ps feeds transfer.restrict_ps (the even halves ARE the injected
-    coarse rows, so restriction degenerates to a column pass)."""
+    coarse rows, so restriction degenerates to a column pass).
+
+    zero_u=True: the caller guarantees u == 0 (coarse corrections, the
+    defect-correction top level) — the kernel skips the u stream's DMA
+    entirely and evaluates the first sweep in closed form, bitwise-equal
+    to the generic path on a zero buffer."""
     call = _build_s2r(
         ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
-        not _on_tpu(), split_res=True,
+        not _on_tpu(), split_res=True, zero_u=zero_u,
     )
     c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
     out = call(c_arr, u_rp, f_rp)

@@ -216,11 +216,15 @@ def mg_solve_jit(u0, f, h, c, tol, niters, apply_bcs=False, cfg=MGConfig()):
 PALLAS_MIN_AREA = 1024 * 1024
 
 
-def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
+def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
+              assume_zero_u=False):
     """One V-cycle on row-padded operands with the fused Pallas smoother at
     large levels, handing the subtree below PALLAS_MIN_AREA to the jnp tier.
 
     Semantics identical to ``vcycle`` (Jacobi smoother only).
+    assume_zero_u: caller guarantees u_rp == 0 (defect-correction top
+    levels; always true for the recursive coarse corrections) — the
+    downward leg then skips the u stream entirely, bitwise-identically.
     Returns (u_rp', r_rms of the final fine-level smooth).
     """
     from fpr_tpu.ops import pallas2d, transfer
@@ -245,7 +249,9 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     if cfg.resolved_restriction() is not Restriction.FULL_WEIGHTING and cfg.pre_smooth == 2:
         # fused downward leg: both pre-smooths, the residual, AND the
         # restriction row pass in one HBM pass (parity-split output)
-        u_rp, res_ps = pallas2d.smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha)
+        u_rp, res_ps = pallas2d.smooth2r_split_rp(
+            u_rp, f_rp, ny, nx, br, h, c, alpha, zero_u=assume_zero_u
+        )
         res_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=apply_bcs)
     else:
         for _ in range(cfg.pre_smooth):
@@ -267,7 +273,8 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     )
     fc_rp = pallas2d.pad2d(res_c, brc)
     corr_rp, _ = vcycle_rp(
-        corr_rp, fc_rp, nyc, nxc, h * 2.0, c, tol, cfg, apply_bcs=apply_bcs
+        corr_rp, fc_rp, nyc, nxc, h * 2.0, c, tol, cfg, apply_bcs=apply_bcs,
+        assume_zero_u=True,
     )
 
     if cfg.post_smooth == 2:
@@ -386,9 +393,10 @@ def mg_solve_mixed(
         )
         r32_rp = pallas2d.pad2d(r32, br32)
         e_rms = jnp.asarray(jnp.inf, jnp.float32)
-        for _ in range(inner_cycles):
+        for cyc in range(inner_cycles):
             e_rp, e_rms = vcycle_rp(
-                e_rp, r32_rp, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs
+                e_rp, r32_rp, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs,
+                assume_zero_u=(cyc == 0),
             )
         e = pallas2d.unpad2d(e_rp, ny, nx).astype(u.dtype) * safe
         u = u - e
@@ -505,9 +513,10 @@ def mg_solve_ds_rp(
     def body(carry):
         u_ds, r32, _, _, it = carry
         e_rp = zero_e
-        for _ in range(inner_cycles):
+        for cyc in range(inner_cycles):
             e_rp, _ = vcycle_rp(
-                e_rp, r32, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs
+                e_rp, r32, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs,
+                assume_zero_u=(cyc == 0),
             )
         out = dsm.defect_pass(u_ds, f_ds, e_rp, 1.0, ny, nx, br, h, c, **kw)
         if extras_on:
