@@ -107,8 +107,19 @@ def ns_step(T, W, S, cfg: NSConfig, constrain=None):
             raise ValueError("sharded ns_step requires mg_solver='direct'")
         solve = functools.partial(mg_solve, constrain=constrain)
         T, W, S = constrain(T), constrain(W), constrain(S)
+    elif cfg.mg_solver == "mixed":
+        solve = mg_solve_mixed
+    elif cfg.mg_solver == "direct":
+        solve = mg_solve
     else:
-        solve = mg_solve_mixed if cfg.mg_solver == "mixed" else mg_solve
+        # "fast"/"ds" etc. are simulate_fast-level choices; falling through
+        # to the (TPU-emulated-f64) direct solver silently would be a
+        # benchmarking trap
+        raise ValueError(
+            f"unknown mg_solver {cfg.mg_solver!r} for ns_step "
+            "(expected 'direct' or 'mixed'; use simulate_fast for the "
+            "fused double-single path)"
+        )
 
     # 1. streamfunction solve  nabla^2 S = W, Dirichlet 0 (part2.jl:187)
     S, _, _ = solve(S, W, h, 0.0, cfg.tol, cfg.niters, apply_bcs=False, cfg=cfg.mg)
@@ -251,21 +262,6 @@ def simulate(
 # same executable.
 
 
-def _f32_pair(x: float):
-    """Split a Python float into (hi, lo) f32 constants (ds scalar)."""
-    hi = float(np.float32(x))
-    return hi, float(np.float32(x - hi))
-
-
-def _rms_phys(a_rp, ny, nx):
-    """rms over the physical (ny, nx) window of a row-padded plane (pad rows
-    and columns are excluded — kernels leave them unspecified)."""
-    from fpr_tpu.ops.pallas2d import PAD
-
-    w = a_rp[PAD : PAD + ny, :nx]
-    return jnp.sqrt(jnp.sum(w * w) / (nx * ny))
-
-
 def _fast_step(TW, S_ds, w_sumsq, cfg: NSConfig, br):
     """One fused NS step on row-padded f32 state.
 
@@ -339,7 +335,9 @@ def _fast_loop(TW, S_ds, w_ss, th, tl, step, limit, cfg: NSConfig, br):
     """Run fused steps while sim_time < ttot and step < limit (traced)."""
     from fpr_tpu.ops import ds as dsm
 
-    tt_hi, tt_lo = _f32_pair(cfg.ttot)
+    from fpr_tpu.ops.ds import f32_pair
+
+    tt_hi, tt_lo = f32_pair(cfg.ttot)
 
     def cond(carry):
         _, _, _, th, tl, step = carry
@@ -407,6 +405,12 @@ def simulate_fast(
         )
         sim_time = float(th) + float(tl)  # the sync that stops the clock
         if sim_time >= cfg.ttot or int(step) >= int(hard_cap):
+            break
+        if int(step) < int(limit):
+            # the device loop stopped short of the chunk limit, so its own
+            # time test (against the ~48-bit split of ttot) is done even if
+            # the f64 host comparison disagrees in the last bits — avoid a
+            # zero-progress spin
             break
         if verbose:
             print(f"time, steps: {sim_time} {int(step)}")

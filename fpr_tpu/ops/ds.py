@@ -124,6 +124,16 @@ def from_ds(hi, lo, dtype=jnp.float64):
     return hi.astype(dtype) + lo.astype(dtype)
 
 
+def f32_pair(x: float):
+    """Split a Python float into (hi, lo) f32 constants (trace-time ds
+    scalar) — shared by the ds3d kernel constants and the NS fast loop's
+    double-single sim-time accumulator."""
+    import numpy as np
+
+    hi = float(np.float32(x))
+    return hi, float(np.float32(x - hi))
+
+
 def _is_pow2(x: float) -> bool:
     import math
 
@@ -305,12 +315,13 @@ def _defect_kernel(
 
     @pl.when(i == 0)
     def _():
+        # all four slots zeroed regardless of flags: the extras tuple is
+        # returned whenever EITHER flag is set, and unwritten SMEM would
+        # otherwise leak garbage into the unrequested entries
         acc_ref[0, 0] = jnp.asarray(0.0, jnp.float32)
-        if velocity_max:
-            acc_ref[1, 0] = jnp.asarray(0.0, jnp.float32)
-            acc_ref[2, 0] = jnp.asarray(0.0, jnp.float32)
-        if field_sumsq:
-            acc_ref[3, 0] = jnp.asarray(0.0, jnp.float32)
+        acc_ref[1, 0] = jnp.asarray(0.0, jnp.float32)
+        acc_ref[2, 0] = jnp.asarray(0.0, jnp.float32)
+        acc_ref[3, 0] = jnp.asarray(0.0, jnp.float32)
 
     acc_ref[0, 0] += jnp.sum(r * r)
 

@@ -29,14 +29,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fpr_tpu.ops.ds import ds_add, ds_mul_ds, two_sum
+from fpr_tpu.ops.ds import ds_add, ds_mul_ds, f32_pair, two_sum
 from fpr_tpu.ops.pallas3d import _im32, _on_tpu, _pad_yx, _pick_bz, _shift_x, _shift_y
 
 
-def _ds_const(x: float):
-    """Split a Python float into (hi, lo) f32 constants."""
-    hi = float(np.float32(x))
-    return hi, float(np.float32(x - hi))
+_ds_const = f32_pair  # trace-time (hi, lo) constant split (fpr_tpu.ops.ds)
 
 
 def pad3d_ds(hi, lo):

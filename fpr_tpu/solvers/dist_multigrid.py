@@ -27,6 +27,8 @@ vectors every XLA op touches.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -65,16 +67,31 @@ def mg_solve_sharded(
     u0/f may live anywhere — they are placed onto the mesh here.  Returns
     (u, r_rms, iterations) with u sharded P(axis, None) over the mesh.
     """
-    from fpr_tpu.core import bc
-    from fpr_tpu.ops import stencil2d
-
     # the 2^k+1 grid sides are never divisible by the mesh extent, which
     # rules out explicit IO shardings (device_put rejects uneven splits);
     # in-jit sharding constraints instead let GSPMD pad each dimension
-    # internally and partition every level the same way
+    # internally and partition every level the same way.  c is a traced
+    # argument so varying Helmholtz shifts (the NS solves) reuse the
+    # executable.
+    solve = _build_solve(
+        mesh, axis, replicate_below, float(h), float(tol), int(niters),
+        bool(apply_bcs), cfg,
+    )
+    return solve(u0, f, jnp.asarray(c))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_solve(mesh, axis, replicate_below, h, tol, niters, apply_bcs, cfg):
+    """Jitted sharded solve, cached per (mesh, placement, solver statics) —
+    a fresh jax.jit per call would recompile the whole partitioned V-cycle
+    every invocation."""
+    from fpr_tpu.core import bc
+    from fpr_tpu.ops import stencil2d
+
     constrain = _make_constrain(mesh, axis, replicate_below)
 
-    def solve(u0, f):
+    @jax.jit
+    def solve(u0, f, c):
         f = constrain(f)
         f_rms = stencil2d.rms(f)
         tolf = tol * f_rms
@@ -99,4 +116,4 @@ def mg_solve_sharded(
             (constrain(u0), jnp.asarray(jnp.inf, u0.dtype), jnp.asarray(0, jnp.int32)),
         )
 
-    return jax.jit(solve)(u0, f)
+    return solve
