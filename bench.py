@@ -111,6 +111,21 @@ def bench_ns():
     return out.t_elapsed, out.timed_iters
 
 
+def _attempt(label, fn, tries=2):
+    """Run a benchmark component with one retry: the remote compile helper
+    occasionally wedges or 500s transiently (CLAUDE.md), and one flaky
+    component must not cost the whole headline artifact."""
+    import traceback
+
+    for t in range(tries):
+        try:
+            return fn()
+        except Exception:
+            traceback.print_exc()
+            print(f"bench component {label!r} failed (attempt {t + 1}/{tries})")
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -122,36 +137,40 @@ def main():
 
     n_diff = 128 if args.quick else 512
     iters = 99 if args.quick else 300  # multiple of the K=3 fusion depth
-    res = bench_diffusion(n_diff, iters)
-    teff = res.throughput / 1e9
+    res = _attempt("diffusion", lambda: bench_diffusion(n_diff, iters))
+    teff = res.throughput / 1e9 if res is not None else 0.0
 
     extras = {
         "diffusion_grid": f"{n_diff}^3",
-        "diffusion_ms_per_iter": res.delta_t / iters * 1e3,
-        "diffusion_gflops": res.performance / 1e9,
+        "diffusion_ms_per_iter": res.delta_t / iters * 1e3 if res else None,
+        "diffusion_gflops": res.performance / 1e9 if res else None,
         "dtype": "float32",
         "counting_model": "shmem (6+1 words/cell/iter), reference parity",
     }
 
     if not args.skip_mg:
         n_mg = 1025 if args.quick else 4097
-        mg_s, mg_iters, mg_rel = bench_mg(n_mg, 1e-6)
-        extras.update({
-            "mg_grid": f"{n_mg}^2",
-            "mg_solver": "double-single defect correction (mg_solve_ds)",
-            "mg_seconds_to_tol1e-6": mg_s,
-            "mg_outer_iterations": mg_iters,
-            "mg_true_f64_rel_residual": mg_rel,
-            "mg_vs_v100_0.154s": 0.154 / mg_s if n_mg == 4097 else None,
-        })
+        mg = _attempt("mg", lambda: bench_mg(n_mg, 1e-6))
+        if mg is not None:
+            mg_s, mg_iters, mg_rel = mg
+            extras.update({
+                "mg_grid": f"{n_mg}^2",
+                "mg_solver": "double-single defect correction (mg_solve_ds)",
+                "mg_seconds_to_tol1e-6": mg_s,
+                "mg_outer_iterations": mg_iters,
+                "mg_true_f64_rel_residual": mg_rel,
+                "mg_vs_v100_0.154s": 0.154 / mg_s if n_mg == 4097 else None,
+            })
 
     if not (args.skip_ns or args.quick):
-        ns_s, ns_steps = bench_ns()
-        extras.update({
-            "ns_explicit_2049x513_Pr0.01_seconds": round(ns_s, 2),
-            "ns_timed_steps": ns_steps,
-            "ns_vs_reference_1314s": round(1314.0 / ns_s, 1),
-        })
+        ns = _attempt("ns", bench_ns)
+        if ns is not None:
+            ns_s, ns_steps = ns
+            extras.update({
+                "ns_explicit_2049x513_Pr0.01_seconds": round(ns_s, 2),
+                "ns_timed_steps": ns_steps,
+                "ns_vs_reference_1314s": round(1314.0 / ns_s, 1),
+            })
 
     out = {
         "metric": f"3D dual-time diffusion T_eff (counted 6+1 model) at {n_diff}^3, f32, TPU v5e",

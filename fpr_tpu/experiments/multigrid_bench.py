@@ -125,6 +125,11 @@ def main():
                         dt, (u, r, it) = timed(fn)
                     except Exception as exc:
                         print(f"k={k} l={l} {coarse.value} {solver}: FAILED {type(exc).__name__}")
+                        # the largest grids (k=14: >1 GB per buffer) can
+                        # fail from in-process accumulation across configs
+                        # (cached executables + live constants) even though
+                        # they run fine fresh — drop everything and go on
+                        jax.clear_caches()
                         continue
                     row = dict(
                         k=k, l=l, coarse=coarse.value, solver=solver,
@@ -135,6 +140,9 @@ def main():
                         key_fields=("k", "l", "coarse", "solver", "backend"),
                     )
                     print(row)
+                    del fn, u, r
+                    if k >= 13:
+                        jax.clear_caches()
 
 
 if __name__ == "__main__":
