@@ -141,3 +141,19 @@ def test_simulate_fast_matches_host_loop_semi_implicit():
     assert got.steps == ref.steps
     np.testing.assert_allclose(got.T, ref.T, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(got.W, ref.W, rtol=1e-3, atol=1e-3 * np.abs(ref.W).max())
+
+
+def test_simulate_fast_chunked_loop_matches_unchunked():
+    """Crossing chunk boundaries (the long-run RPC-deadline guard) must not
+    change the trajectory or the step count."""
+    from fpr_tpu.models.navier_stokes import simulate_fast
+
+    cfg = NSConfig(nx=65, ny=65, ttot=1e-3, beta=0.0, Pr=0.01,
+                   tol=1e-7, niters=50, W_init=InitScheme.RANDOM)
+    rng = np.random.default_rng(3)
+    W0 = rng.standard_normal((65, 65)) * 10.0
+    one = simulate_fast(cfg, W0=W0, max_steps=7)
+    chunked = simulate_fast(cfg, W0=W0, max_steps=7, chunk_steps=2)
+    assert chunked.steps == one.steps
+    np.testing.assert_array_equal(chunked.T, one.T)
+    np.testing.assert_array_equal(chunked.W, one.W)
