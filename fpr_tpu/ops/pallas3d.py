@@ -544,15 +544,21 @@ def _dual_timek_stacked_kernel(
             sem_out.at[s],
         )
 
+    # Aliasing makes this kernel's output DMA overwrite rows that block
+    # i+1's input window still reads from the SAME buffer (the K halo rows
+    # [(i+1)BZ, (i+1)BZ+K)).  The wait order below closes that
+    # read-after-write race: block i's input was awaited by block i-1 (or
+    # the prologue), and block i waits for input i+1 to finish BEFORE
+    # starting its own output copy.  Requires K <= BZ so windows beyond
+    # i+1 cannot overlap the write (asserted by the builder).
     @pl.when(i == 0)
     def _():
         copy_in(0, 0).start()
+        copy_in(0, 0).wait()
 
     @pl.when(i + 1 < n_blocks)
     def _():
         copy_in(i + 1, nslot).start()
-
-    copy_in(i, slot).wait()
 
     @pl.when(i >= 2)
     def _():
@@ -610,6 +616,12 @@ def _dual_timek_stacked_kernel(
         acc_ref[0, 0] = jnp.asarray(0.0, dtype)
 
     acc_ref[0, 0] += jnp.sum(dH * dH)
+
+    # the race-closing wait: input i+1 must be fully on-chip before the
+    # aliased output overwrites its tail halo rows
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy_in(i + 1, nslot).wait()
 
     copy_out(i, slot).start()
 
@@ -709,6 +721,11 @@ def dual_time_stepk_stacked(
     nyp, nxp = _pad_yx(ny, nx)
     interpret = not _on_tpu()
     BZ = block_z or _pick_bz_stacked(nz, nyp, nxp, jnp.dtype(state.dtype).itemsize, K)
+    if K > BZ:
+        raise ValueError(
+            f"stacked K-fusion needs K <= BZ (got K={K}, BZ={BZ}): the "
+            "race-closing DMA order only covers the adjacent block's halo"
+        )
     call = _build_callk_stacked(
         tuple(shape), jnp.dtype(state.dtype).name, int(K), BZ,
         float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
