@@ -151,7 +151,11 @@ def test_fusedk_stacked_matches_k_steps(rng, K):
         s = None
         for _ in range(K):
             r, s = stencil3d.dual_time_step(Ht, r, **args)
-        state, sg = pallas3d.dual_time_stepk_stacked(state, shape, K=K, **args)
+        # block_z=4 -> 3 blocks: exercises the multi-block halo/aliasing
+        # index arithmetic (the single-block case hides it)
+        state, sg = pallas3d.dual_time_stepk_stacked(
+            state, shape, K=K, block_z=4, **args
+        )
         np.testing.assert_allclose(
             np.asarray(pallas3d.unstack_state_k(state, shape, K)),
             np.asarray(r), atol=1e-14,
