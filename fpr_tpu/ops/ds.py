@@ -419,7 +419,7 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )

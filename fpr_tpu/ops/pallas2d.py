@@ -63,11 +63,11 @@ def _pick_br(ny: int, nx: int, itemsize: int) -> int:
     gives br=272 with 3% waste).  Bigger blocks mean fewer grid steps:
     the 2D legs pay ~8 us of scalar-core time per DMA start/wait, which
     is the dominant cost at 4097^2 (measured round 1)."""
-    budget = 88 * 1024 * 1024
-    br_max = 512
-    while br_max > 8 and 8.5 * (br_max + 2 * PAD) * nx * itemsize > budget:
-        br_max //= 2
-    br_max = max(16, br_max)
+    budget = 100 * 1024 * 1024
+    # exact cap (not power-of-2 halving: at 16385^2 halving left br at 128
+    # when 160 fits, costing 25% more latency-bound grid steps)
+    fit = int(budget / (8.5 * nx * itemsize)) - 2 * PAD
+    br_max = min(512, max(16, (fit // 16) * 16))
     blocks = -(-ny // br_max)
     return min(br_max, -(-(-(-ny // blocks)) // 16) * 16)
 
@@ -281,7 +281,7 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -442,7 +442,7 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -677,7 +677,7 @@ def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )

@@ -572,7 +572,12 @@ def mg_solve_ds(
         )
         return jnp.stack([pallas2d.pad2d(hi, br), pallas2d.pad2d(lo, br)])
 
-    f_ds = pack(f)
+    if f.dtype != jnp.float64:
+        # exactly-f32 rhs: single-plane layout — the defect kernel's
+        # f_single path skips the lo plane's traffic and DMA ops
+        f_ds = pallas2d.pad2d(f.astype(jnp.float32), br)[None]
+    else:
+        f_ds = pack(f)
     f_rms = stencil2d.rms(f)
     tolf = jnp.asarray(tol * f_rms, jnp.float32)
 
