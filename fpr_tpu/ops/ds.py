@@ -419,7 +419,8 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
+            # see pallas2d: declare only what the blocking needs
+            vmem_limit_bytes=(127 if nxp >= 8320 else 110) * 1024 * 1024,
         ),
         interpret=interpret,
     )

@@ -281,7 +281,10 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
+            # declare the measured envelope, not a blanket maximum: XLA
+            # schedules around the declared footprint, and over-declaring
+            # serializes neighboring ops (measured on the NS step graph)
+            vmem_limit_bytes=(127 if nxp >= 8320 else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -442,7 +445,10 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
+            # declare the measured envelope, not a blanket maximum: XLA
+            # schedules around the declared footprint, and over-declaring
+            # serializes neighboring ops (measured on the NS step graph)
+            vmem_limit_bytes=(127 if nxp >= 8320 else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -677,7 +683,10 @@ def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
+            # declare the measured envelope, not a blanket maximum: XLA
+            # schedules around the declared footprint, and over-declaring
+            # serializes neighboring ops (measured on the NS step graph)
+            vmem_limit_bytes=(127 if nxp >= 8320 else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )
