@@ -53,14 +53,18 @@ def bench_diffusion(n: int, iters_cap: int):
     state = pallas3d.stack_state_k(Ht, Ht, K)
     state, acc = iterate(state, 5)  # warmup + compile
     float(acc)
-    t0 = time.time()
-    state, acc = iterate(state, iters_cap // K)
-    float(acc)
-    dt_s = time.time() - t0
+
+    from fpr_tpu.utils.timing import timed_stats
+
+    def run():
+        _, acc = iterate(state, iters_cap // K)
+        float(acc)
+
+    stats = timed_stats(run, reps=3)
     res = diffusion_bench_results(
-        dt_s, K * (iters_cap // K), n, n, n, word_bytes=4, model="shmem"
+        stats.median_s, K * (iters_cap // K), n, n, n, word_bytes=4, model="shmem"
     )
-    return res
+    return res, stats
 
 
 def bench_mg(n: int, tol: float):
@@ -79,22 +83,24 @@ def bench_mg(n: int, tol: float):
         .at[1:-1, 1:-1]
         .set(jax.random.uniform(key, (n - 2, n - 2), jnp.float32))
     )
+    from fpr_tpu.utils.timing import timed_stats
+
     # compile + converge once
     (uh, ul), r, it = mg_solve_ds_jit(b, h, 0.0, tol, 30, return_pair=True)
     float(r)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.time()
-        (uh, ul), r, it = mg_solve_ds_jit(b, h, 0.0, tol, 30, return_pair=True)
+
+    def run():
+        (uh, ul), r, _ = mg_solve_ds_jit(b, h, 0.0, tol, 30, return_pair=True)
         float(r)
-        best = min(best, time.time() - t0)
+
+    stats = timed_stats(run, reps=5)
     # f64 oracle verification OUTSIDE the timed region (b is
     # f32-representable, so its f64 lift is exact)
     u64 = uh.astype(jnp.float64) + ul.astype(jnp.float64)
     b64 = b.astype(jnp.float64)
     res = stencil2d.residual(u64, b64, h, 0.0)
     rel_true = float(stencil2d.rms(res)) / float(stencil2d.rms(b64))
-    return best, int(it), rel_true
+    return stats, int(it), rel_true
 
 
 def bench_ns():
@@ -105,10 +111,15 @@ def bench_ns():
     from fpr_tpu.core.config import NSConfig
     from fpr_tpu.models.navier_stokes import simulate_fast
 
+    import numpy as np
+
     cfg = NSConfig(nx=2049, ny=513, ttot=0.005, beta=0.0, Pr=0.01,
                    tol=1e-7, niters=50)
-    out = simulate_fast(cfg, seed=0)
-    return out.t_elapsed, out.timed_iters
+    out = simulate_fast(cfg, seed=0)  # compile + first measurement
+    times = [out.t_elapsed]
+    for _ in range(2):  # warm repetitions (jit cache shared in-process)
+        times.append(simulate_fast(cfg, seed=0).t_elapsed)
+    return float(np.median(times)), out.timed_iters, times
 
 
 def _attempt(label, fn, tries=2):
@@ -137,13 +148,18 @@ def main():
 
     n_diff = 128 if args.quick else 512
     iters = 99 if args.quick else 300  # multiple of the K=3 fusion depth
-    res = _attempt("diffusion", lambda: bench_diffusion(n_diff, iters))
-    teff = res.throughput / 1e9 if res is not None else 0.0
+    diff = _attempt("diffusion", lambda: bench_diffusion(n_diff, iters))
+    res, diff_stats = diff if diff is not None else (None, None)
+    # None (-> JSON null), not 0.0: a failed component must be
+    # distinguishable from a catastrophically bad measurement
+    teff = res.throughput / 1e9 if res is not None else None
 
     extras = {
         "diffusion_grid": f"{n_diff}^3",
         "diffusion_ms_per_iter": res.delta_t / iters * 1e3 if res else None,
         "diffusion_gflops": res.performance / 1e9 if res else None,
+        "diffusion_iqr_s": diff_stats.iqr_s if diff_stats else None,
+        "timing": "median of 3 reps (5 for MG); iqr_s columns carry spread",
         "dtype": "float32",
         "counting_model": "shmem (6+1 words/cell/iter), reference parity",
     }
@@ -152,11 +168,13 @@ def main():
         n_mg = 1025 if args.quick else 4097
         mg = _attempt("mg", lambda: bench_mg(n_mg, 1e-6))
         if mg is not None:
-            mg_s, mg_iters, mg_rel = mg
+            mg_stats, mg_iters, mg_rel = mg
+            mg_s = mg_stats.median_s
             extras.update({
                 "mg_grid": f"{n_mg}^2",
                 "mg_solver": "double-single defect correction (mg_solve_ds)",
                 "mg_seconds_to_tol1e-6": mg_s,
+                "mg_iqr_s": mg_stats.iqr_s,
                 "mg_outer_iterations": mg_iters,
                 "mg_true_f64_rel_residual": mg_rel,
                 "mg_vs_v100_0.154s": 0.154 / mg_s if n_mg == 4097 else None,
@@ -165,18 +183,19 @@ def main():
     if not (args.skip_ns or args.quick):
         ns = _attempt("ns", bench_ns)
         if ns is not None:
-            ns_s, ns_steps = ns
+            ns_s, ns_steps, ns_times = ns
             extras.update({
                 "ns_explicit_2049x513_Pr0.01_seconds": round(ns_s, 2),
+                "ns_rep_seconds": [round(t, 2) for t in ns_times],
                 "ns_timed_steps": ns_steps,
                 "ns_vs_reference_1314s": round(1314.0 / ns_s, 1),
             })
 
     out = {
         "metric": f"3D dual-time diffusion T_eff (counted 6+1 model) at {n_diff}^3, f32, TPU v5e",
-        "value": round(teff, 1),
+        "value": round(teff, 1) if teff is not None else None,
         "unit": "GB/s",
-        "vs_baseline": round(teff / 63.5, 2),
+        "vs_baseline": round(teff / 63.5, 2) if teff is not None else None,
         "extras": extras,
     }
     print(json.dumps(out))

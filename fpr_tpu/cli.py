@@ -95,6 +95,14 @@ def cmd_ns(args):
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.fast:
+        # simulate_fast is f32-only and has no snapshot hook; reject the
+        # silently-ignored combinations (mirrors ns_timestepping's guard)
+        if args.f64:
+            raise SystemExit("--fast is f32-only; drop --f64 or drop --fast")
+        if args.snapshot_every:
+            raise SystemExit(
+                "--fast has no snapshot support; drop --snapshot-every or --fast"
+            )
         out = ns.simulate_fast(cfg, verbose=args.verbose, max_steps=args.max_steps)
     else:
         out = ns.simulate(

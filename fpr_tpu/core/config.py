@@ -39,10 +39,18 @@ class ExecutionPolicy(enum.Enum):
 
 
 class CoarseSolver(enum.Enum):
-    """Coarse-grid solver for the multigrid V-cycle (multigrid.jl:10-13)."""
+    """Coarse-grid solver for the multigrid V-cycle (multigrid.jl:10-13).
+
+    DST is beyond-reference and TPU-first: an *exact* solve by dense
+    sine-transform matmuls on the MXU (fpr_tpu.solvers.dst), replacing the
+    reference's sequential Jacobi/CG coarse iteration — and, with a large
+    ``coarse_size`` (129-513), the entire small-level subtree whose
+    dispatch latency dominates small-grid MG solves.
+    """
 
     JACOBI = "jacobi"
     CG = "cg"
+    DST = "dst"
 
 
 class Smoother(enum.Enum):

@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--workprec", action="store_true",
                     help="MG vs CG vs MG-PCG comparison instead of the k/l sweep")
+    ap.add_argument("--f64-iter-max-k", type=int, default=12,
+                    help="largest k for the per-iteration-f64 solvers (mg, cg) "
+                         "in workprec mode (emulated f64 on TPU)")
+    ap.add_argument("--dst", action="store_true",
+                    help="add truncated-ladder DST coarse-solver configs "
+                         "(coarse='dst' rows) to the k/l sweep")
     args = ap.parse_args()
     if args.out is None:  # the two modes have different schemas
         args.out = (
@@ -52,97 +58,126 @@ def main():
             .set(jax.random.uniform(key, (n - 2, n - 2), dtype))
         )
 
-    def timed(fn):
+    from fpr_tpu.utils.timing import timed_stats
+
+    def timed(fn, reps=3):
+        """Median-of-reps timing (the BenchmarkTools-median analog —
+        environment drift on the shared TPU exceeds some speedup margins,
+        so single-shot numbers are not defensible)."""
         r = fn()
         jax.tree_util.tree_map(
             lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, r
         )
         float(r[1])  # force through the tunnel
-        t0 = time.time()
-        r = fn()
-        float(r[1])
-        return time.time() - t0, r
+
+        def run():
+            float(fn()[1])
+
+        return timed_stats(run, reps=reps), r
 
     if args.workprec:
         for k in range(args.min_k, args.max_k + 1):
             n = 2**k + 1
             h = 1.0 / (n - 1)
             b = rhs(n, jnp.float64)
+            b32 = rhs(n, jnp.float32)
             u0 = jnp.zeros((n, n), jnp.float64)
             configs = {
                 "mg": lambda: multigrid.mg_solve_jit(u0, b, h, 0.0, args.tol, 30),
                 "mixed": lambda: multigrid.mg_solve_mixed_jit(u0, b, h, 0.0, args.tol, 30),
-                "cg": lambda: krylov.cg(b, h, h, 0.0, args.tol, 20000),
+                "ds": lambda: multigrid.mg_solve_ds_jit(
+                    b32, h, 0.0, args.tol, 30, return_pair=True
+                ),
+                "cg": lambda: krylov.cg(b, h, h, 0.0, args.tol, 40000),
                 "mg_pcg": lambda: krylov.mg_preconditioned_cg(b, h, 0.0, args.tol, 100),
             }
             for name, fn in configs.items():
+                if name in ("mg", "cg") and k > args.f64_iter_max_k:
+                    # emulated-f64 per-iteration paths: CG needs O(n)
+                    # iterations and plain f64 MG ~10 full f64 cycles —
+                    # hours at k=14.  mixed/mg_pcg amortize f64 to a few
+                    # passes; ds has none at all.
+                    continue
                 if csv_has_row(args.out, dict(k=k, solver=name, backend=backend)):
                     continue
                 try:
-                    dt, (u, r, it) = timed(jax.jit(fn))
+                    st, (u, r, it) = timed(jax.jit(fn))
                 except Exception as exc:
                     print(f"k={k} {name}: FAILED {type(exc).__name__}")
+                    jax.clear_caches()
                     continue
                 row = dict(k=k, solver=name, backend=backend,
-                           seconds=round(dt, 4), iters=int(it))
+                           seconds=round(st.median_s, 4), iters=int(it),
+                           iqr_s=round(st.iqr_s, 5), reps=st.reps)
                 append_csv_row(args.out, row, key_fields=("k", "solver", "backend"))
                 print(row)
         return
 
     for k in range(args.min_k, args.max_k + 1):
-        for l in range(2, min(k - 2, args.max_l + 1)):
-            for coarse in (CoarseSolver.JACOBI, CoarseSolver.CG):
-                for solver in args.solvers.split(","):
-                    if csv_has_row(args.out, dict(k=k, l=l, coarse=coarse.value,
-                                                  solver=solver, backend=backend)):
-                        continue
-                    n = 2**k + 1
-                    h = 1.0 / (n - 1)
-                    cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse)
-                    try:
-                        if solver == "ds":
-                            # double-single defect correction; rhs created
-                            # directly in f32 (an f64 rhs at k=14 is 2.1 GB
-                            # of pure conversion ballast), result as the
-                            # native hi/lo pair — no emulated f64 anywhere
-                            b32 = rhs(n, jnp.float32)
-                            fn = lambda: multigrid.mg_solve_ds_jit(
-                                b32, h, 0.0, args.tol, 30, cfg=cfg,
-                                return_pair=True,
-                            )
-                        elif solver == "mixed":
-                            b = rhs(n, jnp.float64)
-                            u0 = jnp.zeros((n, n), jnp.float64)
-                            fn = lambda: multigrid.mg_solve_mixed_jit(
-                                u0, b, h, 0.0, args.tol, 30, cfg=cfg
-                            )
-                        else:
-                            b = rhs(n, jnp.float64)
-                            u0 = jnp.zeros((n, n), jnp.float64)
-                            fn = lambda: multigrid.mg_solve_jit(
-                                u0, b, h, 0.0, args.tol, 30, cfg=cfg
-                            )
-                        dt, (u, r, it) = timed(fn)
-                    except Exception as exc:
-                        print(f"k={k} l={l} {coarse.value} {solver}: FAILED {type(exc).__name__}")
-                        # the largest grids (k=14: >1 GB per buffer) can
-                        # fail from in-process accumulation across configs
-                        # (cached executables + live constants) even though
-                        # they run fine fresh — drop everything and go on
-                        jax.clear_caches()
-                        continue
-                    row = dict(
-                        k=k, l=l, coarse=coarse.value, solver=solver,
-                        backend=backend, seconds=round(dt, 4), iters=int(it),
-                    )
-                    append_csv_row(
-                        args.out, row,
-                        key_fields=("k", "l", "coarse", "solver", "backend"),
-                    )
-                    print(row)
-                    del fn, u, r
-                    if k >= 13:
-                        jax.clear_caches()
+        combos = [
+            (l, coarse)
+            for l in range(2, min(k - 2, args.max_l + 1))
+            for coarse in (CoarseSolver.JACOBI, CoarseSolver.CG)
+        ]
+        if args.dst:
+            # truncated ladders: solve the whole subtree at 2^l+1 exactly
+            # with sine-transform matmuls (fpr_tpu.solvers.dst); l=min(k,9)
+            # collapses small grids to pure defect-corrected DST
+            combos += [(l, CoarseSolver.DST) for l in sorted({6, min(k, 9)})
+                       if l <= k]
+        for l, coarse in combos:
+            for solver in args.solvers.split(","):
+                if csv_has_row(args.out, dict(k=k, l=l, coarse=coarse.value,
+                                              solver=solver, backend=backend)):
+                    continue
+                n = 2**k + 1
+                h = 1.0 / (n - 1)
+                cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse)
+                try:
+                    if solver == "ds":
+                        # double-single defect correction; rhs created
+                        # directly in f32 (an f64 rhs at k=14 is 2.1 GB
+                        # of pure conversion ballast), result as the
+                        # native hi/lo pair — no emulated f64 anywhere
+                        b32 = rhs(n, jnp.float32)
+                        fn = lambda: multigrid.mg_solve_ds_jit(
+                            b32, h, 0.0, args.tol, 30, cfg=cfg,
+                            return_pair=True,
+                        )
+                    elif solver == "mixed":
+                        b = rhs(n, jnp.float64)
+                        u0 = jnp.zeros((n, n), jnp.float64)
+                        fn = lambda: multigrid.mg_solve_mixed_jit(
+                            u0, b, h, 0.0, args.tol, 30, cfg=cfg
+                        )
+                    else:
+                        b = rhs(n, jnp.float64)
+                        u0 = jnp.zeros((n, n), jnp.float64)
+                        fn = lambda: multigrid.mg_solve_jit(
+                            u0, b, h, 0.0, args.tol, 30, cfg=cfg
+                        )
+                    st, (u, r, it) = timed(fn)
+                except Exception as exc:
+                    print(f"k={k} l={l} {coarse.value} {solver}: FAILED {type(exc).__name__}")
+                    # the largest grids (k=14: >1 GB per buffer) can
+                    # fail from in-process accumulation across configs
+                    # (cached executables + live constants) even though
+                    # they run fine fresh — drop everything and go on
+                    jax.clear_caches()
+                    continue
+                row = dict(
+                    k=k, l=l, coarse=coarse.value, solver=solver,
+                    backend=backend, seconds=round(st.median_s, 4),
+                    iters=int(it), iqr_s=round(st.iqr_s, 5), reps=st.reps,
+                )
+                append_csv_row(
+                    args.out, row,
+                    key_fields=("k", "l", "coarse", "solver", "backend"),
+                )
+                print(row)
+                del fn, u, r
+                if k >= 13:
+                    jax.clear_caches()
 
 
 if __name__ == "__main__":

@@ -37,7 +37,14 @@ _ds_const = f32_pair  # trace-time (hi, lo) constant split (fpr_tpu.ops.ds)
 
 
 def pad3d_ds(hi, lo):
-    """(nz, ny, nx) hi/lo -> (2, nz+2, ny8, nx128) stacked ghost/tile-padded."""
+    """(nz, ny, nx) hi/lo -> (2, nz+2, ny8, nx128) stacked ghost/tile-padded.
+
+    Ghost-plane invariant: only this entry path guarantees ZERO z-ghost
+    planes (rows 0 and nz+1).  The ds3d kernel's output never writes them,
+    so on iterated states they hold unspecified memory — benign, because
+    the interior mask excludes every cell a ghost plane feeds, but no
+    consumer may read ghosts off a kernel output (from_ds_padded doesn't).
+    """
     pads = ((1, 1), (0, _pad_yx(*hi.shape[1:])[0] - hi.shape[1]),
             (0, _pad_yx(*hi.shape[1:])[1] - hi.shape[2]))
     return jnp.stack([jnp.pad(hi, pads), jnp.pad(lo, pads)])
@@ -51,6 +58,8 @@ def to_ds_padded(H):
 
 
 def from_ds_padded(Hds, shape, dtype=jnp.float64):
+    """Physical field from a ds-padded state; reads interior planes only
+    (kernel outputs carry unspecified z-ghost planes — see pad3d_ds)."""
     nz, ny, nx = shape
     return (
         Hds[0, 1 : 1 + nz, :ny, :nx].astype(dtype)

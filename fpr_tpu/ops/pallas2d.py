@@ -358,11 +358,15 @@ def _smooth2r_kernel(
     F = fbufs[slot, :, :]
     dtype = F.dtype
     c = c_ref[0, 0]
+    # global row offset of this shard's first physical row (0 single-device;
+    # a *traced* per-shard scalar in the distributed solver — runtime, so
+    # every shard shares one compiled kernel).  Exact in f32 up to 2^24.
+    off = c_ref[1, 0].astype(jnp.int32)
     C = jnp.asarray(4.0, dtype) + c * jnp.asarray(h * h, dtype)
     _h2 = jnp.asarray(1.0 / (h * h), dtype)
     w = jnp.asarray(alpha, dtype) * (jnp.asarray(h * h, dtype) / C)
 
-    gy = i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    gy = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
     interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
 
@@ -409,21 +413,23 @@ def _smooth2r_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
-               zero_u=False):
+               zero_u=False, ny_mask=None):
+    # ny drives the LOCAL layout (rows owned by this shard); ny_mask is the
+    # GLOBAL interior bound (== ny single-device) checked against off + row
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
     n_blocks = (total - 2 * PAD) // BR
     kernel = functools.partial(
         _smooth2r_kernel,
-        BR=BR, ny=ny, nx=nx, nxp=nxp, h=h, alpha=alpha, split_res=split_res,
-        zero_u=zero_u,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
+        h=h, alpha=alpha, split_res=split_res, zero_u=zero_u,
     )
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
         ],
@@ -454,6 +460,13 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
     )
 
 
+def _scal2(c, row_off, dtype):
+    """(2, 1) SMEM scalars: [c, row_off] (row_off exact in f32 <= 2^24)."""
+    return jnp.stack(
+        [jnp.asarray(c, dtype), jnp.asarray(row_off, dtype)]
+    ).reshape(2, 1)
+
+
 def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
     """Two fused smooths plus the resulting residual, one HBM pass.
 
@@ -465,12 +478,12 @@ def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
         ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
         not _on_tpu(),
     )
-    c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
-    out = call(c_arr, u_rp, f_rp)
+    out = call(_scal2(c, 0, u_rp.dtype), u_rp, f_rp)
     return out[0], out[1]
 
 
-def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False):
+def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False,
+                      row_off=0, ny_mask=None):
     """smooth2r with the residual plane parity-split per block ([even rows;
     odd rows]) — the V-cycle fast path.  Returns (u_rp'', res_ps) where
     res_ps feeds transfer.restrict_ps (the even halves ARE the injected
@@ -479,13 +492,17 @@ def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False):
     zero_u=True: the caller guarantees u == 0 (coarse corrections, the
     defect-correction top level) — the kernel skips the u stream's DMA
     entirely and evaluates the first sweep in closed form, bitwise-equal
-    to the generic path on a zero buffer."""
+    to the generic path on a zero buffer.
+
+    Distributed: ny is this shard's LOCAL row count (the layout); ny_mask
+    the GLOBAL row count and row_off the (traced) global index of local
+    row 0.  The shard's PAD ghost rows must hold the neighbors' boundary
+    rows (fpr_tpu.solvers.dist_mg_ds refreshes them via ppermute)."""
     call = _build_s2r(
         ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
-        not _on_tpu(), split_res=True, zero_u=zero_u,
+        not _on_tpu(), split_res=True, zero_u=zero_u, ny_mask=ny_mask,
     )
-    c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
-    out = call(c_arr, u_rp, f_rp)
+    out = call(_scal2(c, row_off, u_rp.dtype), u_rp, f_rp)
     return out[0], out[1]
 
 

@@ -72,6 +72,10 @@ def _smooth_fns(cfg: MGConfig):
 def _coarse_solve(u, f, h, c, tol, cfg: MGConfig, smooth):
     """Direct-ish coarse solve (multigrid.jl:145-166)."""
     max_iters = 20 * cfg.coarse_size
+    if cfg.coarse_solver == CoarseSolver.DST:
+        from fpr_tpu.solvers.dst import dst_solve
+
+        return dst_solve(u, f, h, c)
     if cfg.coarse_solver == CoarseSolver.CG:
         from fpr_tpu.solvers.krylov import cg
 
@@ -230,8 +234,14 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     from fpr_tpu.ops import pallas2d, transfer
 
     # the fused kernels implement the damped-Jacobi smoother; other
-    # smoothers take the jnp tier at every level
-    if cfg.smoother is not Smoother.JACOBI or ny * nx < PALLAS_MIN_AREA:
+    # smoothers take the jnp tier at every level.  A level at or below the
+    # coarse size (possible with the large-coarse DST configs) is the
+    # coarse solve itself — also a jnp-tier handoff.
+    if (
+        cfg.smoother is not Smoother.JACOBI
+        or ny * nx < PALLAS_MIN_AREA
+        or min(ny, nx) <= cfg.coarse_size
+    ):
         import dataclasses
 
         u = pallas2d.unpad2d(u_rp, ny, nx)
@@ -483,6 +493,17 @@ def mg_solve_ds_rp(
     br = pallas2d._pick_br(ny, nx, 4)
     total = pallas2d.padded_rows(ny, br)
     nxp = pallas2d.padded_cols(nx)
+    # the layout br is recomputed here; a caller that packed with a
+    # different br would have its rows silently misinterpreted
+    if f_ds.shape[-2:] != (total, nxp):
+        raise ValueError(
+            f"f_ds layout {f_ds.shape[-2:]} != expected {(total, nxp)} "
+            f"for ny={ny}, nx={nx} (br={br}); pack with pallas2d.pad2d(_, {br})"
+        )
+    if u_ds is not None and u_ds.shape[-2:] != (total, nxp):
+        raise ValueError(
+            f"u_ds layout {u_ds.shape[-2:]} != expected {(total, nxp)}"
+        )
     f_single = f_ds.shape[0] == 1
     tolf = jnp.asarray(tolf, jnp.float32)
     extras_on = velocity_max or field_sumsq

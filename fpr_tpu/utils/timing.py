@@ -20,6 +20,53 @@ f32), so T_eff is an honest bytes/s for each precision.
 from __future__ import annotations
 
 import dataclasses
+import time
+
+
+@dataclasses.dataclass(frozen=True)
+class TimingStats:
+    """Robust repeated-measurement summary (the TPU analog of the
+    reference's BenchmarkTools medians, part1_benchmark.jl:59-65).
+
+    The measured environment drift on the shared TPU is real (identical
+    code has measured 1.10 s vs 1.54 s hours apart — CLAUDE.md), so every
+    headline number is a median over >= 3 repetitions with the IQR as the
+    dispersion column.
+    """
+
+    median_s: float
+    iqr_s: float
+    min_s: float
+    reps: int
+
+    def row(self) -> dict:
+        return {
+            "median_s": self.median_s,
+            "iqr_s": self.iqr_s,
+            "min_s": self.min_s,
+            "reps": self.reps,
+        }
+
+
+def timed_stats(fn, reps: int = 3) -> TimingStats:
+    """Time ``fn()`` (which must block until the result is real — force a
+    scalar read; ``block_until_ready`` returns prematurely through the axon
+    tunnel) ``reps`` times and summarize.  The caller warms up/compiles
+    before calling this."""
+    import numpy as np
+
+    times = []
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    t = np.asarray(times)
+    return TimingStats(
+        median_s=float(np.median(t)),
+        iqr_s=float(np.percentile(t, 75) - np.percentile(t, 25)),
+        min_s=float(t.min()),
+        reps=len(times),
+    )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,15 +22,24 @@ def _manufactured(n, h, c, rng):
     return xref, b
 
 
+@pytest.mark.parametrize(
+    "policy", [ExecutionPolicy.JNP, ExecutionPolicy.PALLAS]
+)
 @pytest.mark.parametrize("coarse_solver", [CoarseSolver.JACOBI, CoarseSolver.CG])
 @pytest.mark.parametrize("l", [2, 3])
 @pytest.mark.parametrize("k", [7, 8, 9, 10])
-def test_mg_converges_within_20_vcycles(rng, k, l, coarse_solver):
+def test_mg_converges_within_20_vcycles(rng, k, l, coarse_solver, policy):
+    """The reference's full 32-config matrix (test/multigrid.jl:30-58):
+    {parallel, parallel_shmem} x l x k x {jacobi, CG} — here the two
+    execution policies are the jnp tier and the Pallas drop-ins
+    (interpreter mode on CPU)."""
+    if policy is ExecutionPolicy.PALLAS and k > 8:
+        pytest.skip("interpreter-mode Pallas at k>8 is needlessly slow on CPU")
     n = 2**k + 1
     h = 1.0 / (n - 1)
     c = 0.0
     tol = 1e-6
-    cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse_solver)
+    cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse_solver, policy=policy)
     _, b = _manufactured(n, h, c, rng)
 
     u, r_rms, iters = multigrid.mg_solve(
@@ -89,6 +98,102 @@ def test_mg_anisotropic_grid(rng):
         jnp.zeros((ny, nx)), jnp.asarray(b), h, 0.0, 1e-6, 30
     )
     assert float(r_rms) < 1e-6 * np.sqrt((b**2).sum() / (nx * ny))
+
+
+# ---------------------------------------------------------------------------
+# DST direct solver (fpr_tpu.solvers.dst) — the MXU coarse solve
+# ---------------------------------------------------------------------------
+
+
+def test_dst_solve_exact_vs_oracle(rng):
+    """One DST solve == the sparse direct solve to fp accuracy (the solver
+    is algebraically exact: the DST diagonalizes the 5-pt operator)."""
+    import scipy.sparse.linalg as spla
+
+    from fpr_tpu.solvers import dst
+
+    for (ny, nx), c in [((33, 33), 0.0), ((17, 65), 3.1415)]:
+        h = 1.0 / (ny - 1)
+        b = np.zeros((ny, nx))
+        b[1:-1, 1:-1] = rng.random((ny - 2, nx - 2))
+        u, r_rms = dst.dst_solve(jnp.zeros((ny, nx)), jnp.asarray(b), h, c)
+        A = oracle.helmholtz_operator(nx - 2, ny - 2, h, c)
+        u_ref = spla.spsolve(A.tocsr(), b[1:-1, 1:-1].ravel()).reshape(
+            ny - 2, nx - 2
+        )
+        np.testing.assert_allclose(np.asarray(u)[1:-1, 1:-1], u_ref, atol=1e-10)
+        assert float(r_rms) < 1e-10 * np.sqrt((b**2).sum() / (nx * ny))
+
+
+def test_dst_solve_nonzero_boundary(rng):
+    """Defect-form DST handles a nonzero boundary ring on u0 exactly (the
+    NS apply_bcs coarse case): the boundary is preserved and the interior
+    residual vanishes."""
+    from fpr_tpu.ops import stencil2d
+    from fpr_tpu.solvers import dst
+
+    ny, nx = 33, 33
+    h = 1.0 / (ny - 1)
+    u0 = np.zeros((ny, nx))
+    u0[0, :] = 1.0                      # NS Dirichlet bottom
+    u0[:, 0] = rng.random(ny)           # arbitrary side values
+    b = np.zeros((ny, nx))
+    b[1:-1, 1:-1] = rng.random((ny - 2, nx - 2))
+    u, r_rms = dst.dst_solve(jnp.asarray(u0), jnp.asarray(b), h, 0.0)
+    u = np.asarray(u)
+    np.testing.assert_array_equal(u[0, :], u0[0, :])
+    np.testing.assert_array_equal(u[:, 0], u0[:, 0])
+    res = stencil2d.residual(jnp.asarray(u), jnp.asarray(b), h, 0.0)
+    assert float(stencil2d.rms(res)) < 1e-10
+
+
+def test_dst_traced_c(rng):
+    """c may be traced (the NS Helmholtz shifts vary per step): one jitted
+    solve reused across shift values stays exact."""
+    from fpr_tpu.solvers import dst
+
+    n = 33
+    h = 1.0 / (n - 1)
+    b = np.zeros((n, n))
+    b[1:-1, 1:-1] = rng.random((n - 2, n - 2))
+
+    @jax.jit
+    def solve(b, c):
+        return dst.dst_solve(jnp.zeros((n, n)), b, h, c)
+
+    for c in [0.0, 17.0, 4096.0]:
+        u, r_rms = solve(jnp.asarray(b), jnp.asarray(c))
+        assert float(r_rms) < 1e-10, c
+
+
+@pytest.mark.parametrize("coarse_size", [5, 65])
+def test_mg_converges_dst_coarse(rng, coarse_size):
+    """DST as the V-cycle coarse solver — including the truncated-ladder
+    configuration (coarse_size=65) that removes the small-level subtree."""
+    n = 257
+    h = 1.0 / (n - 1)
+    tol = 1e-8
+    cfg = MGConfig(coarse_size=coarse_size, coarse_solver=CoarseSolver.DST)
+    xref, b = _manufactured(n, h, 0.0, rng)
+    u, r_rms, iters = multigrid.mg_solve(
+        jnp.zeros((n, n)), jnp.asarray(b), h, 0.0, tol, 20, cfg=cfg
+    )
+    assert float(r_rms) < tol * np.sqrt((b**2).sum() / n**2)
+    assert int(iters) <= 20
+
+
+def test_mg_dst_whole_grid_is_coarse(rng):
+    """coarse_size >= the grid: the 'V-cycle' degenerates to one exact DST
+    solve per outer iteration — the small-k fast path."""
+    n = 129
+    h = 1.0 / (n - 1)
+    cfg = MGConfig(coarse_size=257, coarse_solver=CoarseSolver.DST)
+    _, b = _manufactured(n, h, 0.0, rng)
+    u, r_rms, iters = multigrid.mg_solve(
+        jnp.zeros((n, n)), jnp.asarray(b), h, 0.0, 1e-10, 20, cfg=cfg
+    )
+    assert float(r_rms) < 1e-10 * np.sqrt((b**2).sum() / n**2)
+    assert int(iters) <= 2
 
 
 def test_mg_solution_accuracy(rng):
