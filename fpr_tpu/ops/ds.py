@@ -154,7 +154,9 @@ def _defect_kernel(
 ):
     """One grid step: ds update + ds residual + norm on a BR-row block.
 
-    scal_ref (SMEM, (3, 1)): [scale, C_hi, C_lo].
+    scal_ref (SMEM, (4, 1)): [scale, C_hi, C_lo, row_off] (row_off is the
+    shard's global row offset — 0 single-device, traced in the distributed
+    solver; exact in f32 <= 2^24).
     u_hbm: (2, total, nxp) hi/lo planes.  f_hbm: (2, total, nxp) hi/lo, or
     (1, total, nxp) when f_single (an exactly-f32 rhs, e.g. the NS rhs
     builds — skips the lo plane's traffic and arithmetic).
@@ -232,6 +234,7 @@ def _defect_kernel(
 
     uh = uslabs[slot, 0, :, :]
     ul = uslabs[slot, 1, :, :]
+    off = scal_ref[3, 0].astype(jnp.int32)
 
     if with_update:
         # u' = u - scale * e on the FULL extended window (the halo rows are
@@ -244,7 +247,7 @@ def _defect_kernel(
         # NS temperature BCs on the whole extended window, hi and lo planes
         # (Dirichlet rows first, Neumann column copies second)
         E_ = BR + 2 * PAD
-        gye = i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E_, nxp), 0)
+        gye = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E_, nxp), 0)
         gxe = jax.lax.broadcasted_iota(jnp.int32, (E_, nxp), 1)
         onef = jnp.asarray(1.0, jnp.float32)
         zerof = jnp.asarray(0.0, jnp.float32)
@@ -304,7 +307,7 @@ def _defect_kernel(
     else:
         r = rs + (re + (tl[blk, :] - fbufs[slot, 1, :, :]))
 
-    gy = i * BR + jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 0)
+    gy = off + i * BR + jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 1)
     interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
     r = jnp.where(interior, r, jnp.asarray(0.0, jnp.float32))
@@ -363,7 +366,7 @@ def _defect_kernel(
 @functools.lru_cache(maxsize=128)
 def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
                   apply_bcs=False, f_single=False, velocity_max=False,
-                  field_sumsq=False, inv2h=0.0):
+                  field_sumsq=False, inv2h=0.0, ny_mask=None):
     total = padded_rows(ny, layout_br)
     nxp = padded_cols(nx)
     # the ds kernel keeps ~15 live (E, nxp) f32 planes (5 double-buffered
@@ -375,7 +378,7 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
     assert n_blocks * BR == total - 2 * PAD, (total, layout_br, BR)
     kernel = functools.partial(
         _defect_kernel,
-        BR=BR, ny=ny, nx=nx, nxp=nxp,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
         inv_h2=inv_h2, c_zero=c_zero, with_update=with_update,
         apply_bcs=apply_bcs, f_single=f_single,
         velocity_max=velocity_max, field_sumsq=field_sumsq, inv2h=inv2h,
@@ -386,7 +389,7 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((3, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((fplanes, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
@@ -428,7 +431,7 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
 
 def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
                 apply_bcs=False, f_single=False, velocity_max=False,
-                field_sumsq=False):
+                field_sumsq=False, row_off=0, ny_mask=None, raw_sumsq=False):
     """Fused: u' = u - scale*e (ds), [BCs(u')], r = A u' - f (ds), sumsq(r_hi).
 
     u_ds: (2, padded_rows, padded_cols) f32 hi/lo stack; f_ds likewise, or
@@ -440,12 +443,18 @@ def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
     inv_h2 = 1.0 / (float(h) * float(h))
     if not _is_pow2(inv_h2):
         raise ValueError(f"1/h^2 = {inv_h2} must be a power of two (h = 1/2^k)")
+    # the layout IS the contract: a 1-plane f_ds means an exactly-f32 rhs
+    # (reading a 2nd plane the DMA never fills would be garbage), so derive
+    # the flag from the shape rather than trusting the caller
+    if f_ds.shape[0] not in (1, 2):
+        raise ValueError(f"f_ds must be (1|2, rows, cols), got {f_ds.shape}")
+    f_single = f_ds.shape[0] == 1
     c_zero = isinstance(c, (int, float)) and float(c) == 0.0
     call = _build_defect(
         ny, nx, br, inv_h2, c_zero, with_update, not _on_tpu(),
         apply_bcs=bool(apply_bcs), f_single=bool(f_single),
         velocity_max=bool(velocity_max), field_sumsq=bool(field_sumsq),
-        inv2h=0.5 / float(h),
+        inv2h=0.5 / float(h), ny_mask=ny_mask,
     )
     # C = 4 + c h^2 split to a ds scalar: in f64 at trace time if c is a
     # Python scalar; via f64 rounding if c is a traced f64; via error-free
@@ -469,10 +478,13 @@ def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
         C_hi = C64.astype(jnp.float32)
         C_lo = (C64 - C_hi.astype(C64.dtype)).astype(jnp.float32)
     scal = jnp.stack(
-        [jnp.asarray(scale, jnp.float32), C_hi, C_lo]
-    ).reshape(3, 1)
+        [jnp.asarray(scale, jnp.float32), C_hi, C_lo,
+         jnp.asarray(row_off, jnp.float32)]
+    ).reshape(4, 1)
     u_out, r32, acc = call(scal, u_ds, f_ds, e_rp)
-    r_rms = jnp.sqrt(acc[0, 0] / (nx * ny))
+    # raw_sumsq: the distributed solver psums the raw local sum before
+    # normalizing by the GLOBAL cell count
+    r_rms = acc[0, 0] if raw_sumsq else jnp.sqrt(acc[0, 0] / (nx * ny))
     if velocity_max or field_sumsq:
         # extras: (max|vx|, max|vy|, sumsq(u'_hi)) — zeros when not computed
         return u_out, r32, r_rms, (acc[1, 0], acc[2, 0], acc[3, 0])

@@ -594,6 +594,10 @@ def _corr_smooth2_kernel(
     CB = cbufs[slot, :, :]
     dtype = U.dtype
     c = c_ref[0, 0]
+    # shard row offset (0 single-device); must be EVEN so local fine-row
+    # parity equals global parity (the y-interpolation relies on it) — the
+    # distributed layout guarantees multiples of 16
+    off = c_ref[1, 0].astype(jnp.int32)
     C4 = jnp.asarray(4.0, dtype) + c * jnp.asarray(h * h, dtype)
     _h2 = jnp.asarray(1.0 / (h * h), dtype)
     w = jnp.asarray(alpha, dtype) * (jnp.asarray(h * h, dtype) / C4)
@@ -617,7 +621,7 @@ def _corr_smooth2_kernel(
     U = U - P  # subtract the correction (multigrid.jl:139)
 
     # --- two chained damped-Jacobi sweeps (as in smooth2) ---
-    gy = i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    gy = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
     interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
 
@@ -657,21 +661,22 @@ def _corr_smooth2_kernel(
 
 
 @functools.lru_cache(maxsize=256)
-def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret):
+def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret,
+               ny_mask=None):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
     n_blocks = (total - 2 * PAD) // BR
     kernel = functools.partial(
         _corr_smooth2_kernel,
-        BR=BR, ny=ny, nx=nx, nxp=nxp,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
         h=h, alpha=alpha, with_norm=with_norm,
     )
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
@@ -709,6 +714,37 @@ def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret
     )
 
 
+def corr_rows_needed(ny: int, br: int) -> int:
+    """Rows of the x-interleaved correction buffer corr_smooth2 consumes."""
+    total = padded_rows(ny, br)
+    n_blocks = (total - 2 * PAD) // br
+    return n_blocks * (br // 2) + 2 * PAD
+
+
+def corr_smooth2_raw(
+    u_rp, f_rp, corrx_rp, ny, nx, br, h, c,
+    alpha=0.8, with_norm=False, row_off=0, ny_mask=None, raw_acc=False,
+):
+    """corr_smooth2 on a PREBUILT x-interleaved correction buffer: local
+    coarse row j (fine-width, x-interleaved) at buffer row PAD + j, with
+    rows [PAD-4, PAD) / [PAD+nyc_local, ...) holding neighbor halo rows in
+    the distributed layout (zeros single-device).  Returns (u_rp'', acc)
+    where acc is sum(res2^2) over block rows (raw_acc) or the r_rms over
+    the GLOBAL (ny_mask or ny) x nx cell count."""
+    assert br % 16 == 0, br
+    call = _build_cs2(
+        ny, nx, jnp.dtype(u_rp.dtype).name, br,
+        float(h), float(alpha), bool(with_norm), corrx_rp.shape[0],
+        not _on_tpu(), ny_mask=ny_mask,
+    )
+    out, acc = call(_scal2(c, row_off, u_rp.dtype), u_rp, f_rp, corrx_rp)
+    if not with_norm:
+        return out, None
+    if raw_acc:
+        return out, acc[0, 0]
+    return out, jnp.sqrt(acc[0, 0] / (nx * (ny_mask or ny)))
+
+
 def corr_smooth2_rp(
     u_rp, f_rp, corr_phys, ny, nx, br, h, c,
     alpha=0.8, apply_bcs=False, with_norm=False,
@@ -719,23 +755,15 @@ def corr_smooth2_rp(
     interpolated here in XLA (cheap), the y direction inside the kernel.
     Requires br % 16 == 0.  Returns (u_rp'', r_rms or None).
     """
-    assert br % 16 == 0, br
     corrx = x_interleave_coarse(corr_phys, apply_bcs=apply_bcs)
-    total = padded_rows(ny, br)
-    n_blocks = (total - 2 * PAD) // br
-    rows_needed = n_blocks * (br // 2) + 2 * PAD
+    rows_needed = corr_rows_needed(ny, br)
     nxp = padded_cols(nx)
     corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)
     corrx_rp = corrx_rp.at[PAD : PAD + corrx.shape[0], :nx].set(corrx)
-    call = _build_cs2(
-        ny, nx, jnp.dtype(u_rp.dtype).name, br,
-        float(h), float(alpha), bool(with_norm), rows_needed,
-        not _on_tpu(),
+    return corr_smooth2_raw(
+        u_rp, f_rp, corrx_rp, ny, nx, br, h, c,
+        alpha=alpha, with_norm=with_norm,
     )
-    c_arr = jnp.full((1, 1), c, dtype=u_rp.dtype)
-    out, acc = call(c_arr, u_rp, f_rp, corrx_rp)
-    r_rms = jnp.sqrt(acc[0, 0] / (nx * ny)) if with_norm else None
-    return out, r_rms
 
 
 def _call(mode, u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, with_norm=False):

@@ -1,0 +1,101 @@
+"""Distributed production-tier multigrid (fpr_tpu/solvers/dist_mg_ds.py):
+the sharded fused-kernel V-cycle must reproduce the single-device
+mg_solve_ds solver on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpr_tpu.core.config import CoarseSolver, MGConfig
+from fpr_tpu.ops import pallas2d, stencil2d
+from fpr_tpu.ops.pallas2d import PAD
+from fpr_tpu.parallel.mesh import make_mesh
+from fpr_tpu.solvers import dist_mg_ds, multigrid
+
+
+def test_smooth2r_row_offset_matches_global(rng):
+    """The offset/masked kernels on hand-built shard-local windows must
+    reproduce the corresponding rows of the global single-array call —
+    bitwise (same arithmetic, same block recomputation)."""
+    ny, nx = 97, 129
+    h = 1.0 / 64.0
+    ndev, ny_l, br = 2, 64, 32
+    u = jnp.asarray(rng.random((ny, nx)), jnp.float32)
+    f = jnp.asarray(rng.random((ny, nx)), jnp.float32)
+
+    # global reference at the same block size
+    u_g, res_g = pallas2d.smooth2r_split_rp(
+        pallas2d.pad2d(u, br)[: ny_l * ndev + 2 * PAD],
+        pallas2d.pad2d(f, br)[: ny_l * ndev + 2 * PAD],
+        ny, nx, br, h, 0.0,
+    )
+
+    # shard emulation: local rp arrays with neighbor rows in the ghosts
+    up = jnp.pad(u, ((0, ndev * ny_l - ny), (0, 0)))
+    fp = jnp.pad(f, ((0, ndev * ny_l - ny), (0, 0)))
+    nxp = pallas2d.padded_cols(nx)
+    for d in range(ndev):
+        lo = d * ny_l
+        blk = np.zeros((ny_l + 2 * PAD, nxp), np.float32)
+        fblk = np.zeros((ny_l + 2 * PAD, nxp), np.float32)
+        for (dst, src) in [(blk, up), (fblk, fp)]:
+            body = np.asarray(src[max(0, lo - PAD) : lo + ny_l + PAD])
+            start = PAD - (lo - max(0, lo - PAD))
+            dst[start : start + body.shape[0], : nx] = body
+        u_l, res_l = pallas2d.smooth2r_split_rp(
+            jnp.asarray(blk), jnp.asarray(fblk), ny_l, nx, br, h, 0.0,
+            row_off=lo, ny_mask=ny,
+        )
+        rows = min(ny_l, ny - lo)
+        np.testing.assert_array_equal(
+            np.asarray(u_l)[PAD : PAD + rows],
+            np.asarray(u_g)[PAD + lo : PAD + lo + rows],
+        )
+        # parity-split residual: compare per-block even/odd halves
+        np.testing.assert_array_equal(
+            np.asarray(res_l)[PAD : PAD + ny_l],
+            np.asarray(res_g)[PAD + lo : PAD + lo + ny_l],
+        )
+
+
+@pytest.mark.parametrize("n,rep", [(1025, 513), (2049, 1025)])
+def test_mg_solve_ds_sharded_matches_single(rng, n, rep):
+    """Iteration parity + field agreement with the single-device ds solver
+    (VERDICT round-2 item 1)."""
+    h = 1.0 / (n - 1)
+    tol = 1e-6
+    b = (
+        jnp.zeros((n, n), jnp.float32)
+        .at[1:-1, 1:-1]
+        .set(jnp.asarray(rng.random((n - 2, n - 2)), jnp.float32))
+    )
+    cfg = MGConfig(coarse_size=129, coarse_solver=CoarseSolver.DST)
+    mesh = make_mesh((8,), ("y",))
+
+    (hi_d, lo_d), r_d, it_d = dist_mg_ds.mg_solve_ds_sharded(
+        b, h, 0.0, tol, 20, mesh, axis="y", cfg=cfg, replicate_below=rep,
+    )
+    (hi_s, lo_s), r_s, it_s = multigrid.mg_solve_ds(
+        None, b, h, 0.0, tol, 20, cfg=cfg, return_pair=True,
+    )
+
+    assert int(it_d) == int(it_s)
+    u_d = np.asarray(hi_d, np.float64) + np.asarray(lo_d, np.float64)
+    u_s = np.asarray(hi_s, np.float64) + np.asarray(lo_s, np.float64)
+    scale = np.abs(u_s).max()
+    assert np.abs(u_d - u_s).max() / scale < 1e-6
+
+    # the distributed residual claim is a true converged residual
+    res = stencil2d.residual(
+        jnp.asarray(u_d), b.astype(jnp.float64), h, 0.0
+    )
+    rel = float(stencil2d.rms(res)) / float(stencil2d.rms(b.astype(jnp.float64)))
+    assert rel < 2 * tol
+
+
+def test_sharded_solver_rejects_small_grids():
+    mesh = make_mesh((8,), ("y",))
+    b = jnp.zeros((129, 129), jnp.float32)
+    with pytest.raises(ValueError, match="too small"):
+        dist_mg_ds.mg_solve_ds_sharded(b, 1 / 128.0, 0.0, 1e-6, 20, mesh)
