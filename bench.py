@@ -67,15 +67,47 @@ def bench_diffusion(n: int, iters_cap: int):
     return res, stats
 
 
-def bench_mg(n: int, tol: float):
+def measure_tunnel_overhead():
+    """Median latency of a trivial jitted call: the dev-environment RPC
+    round trip (axon tunnel), which a production TPU host does not pay.
+    Measured 2.5-27 ms depending on the day — larger than small-grid MG
+    device time, hence the amortized timing below."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jnp.ones((8, 128), jnp.float32)
+    triv = jax.jit(lambda x: jnp.sum(x * 1.000001))
+    float(triv(x))
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(triv(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_mg(n: int, tol: float, amortize: int = 10):
     """Time-to-tolerance via the double-single defect-correction solver
-    (no emulated f64 anywhere in the solve; the reported residual is the
-    TRUE defect, verified here against an f64 oracle after timing)."""
+    with the DST truncated ladder (no emulated f64 anywhere; the reported
+    residual is the TRUE defect, verified against an f64 oracle after
+    timing).
+
+    Reports BOTH a single-call median (includes the dev tunnel's per-call
+    RPC latency) and the amortized per-solve time over `amortize`
+    data-dependent solves inside one jit — the device-time number
+    comparable to the reference's BenchmarkTools GPU medians (CUDA launch
+    overhead is microseconds; the tunnel RPC is not)."""
     import jax.numpy as jnp
 
+    from fpr_tpu.core.config import CoarseSolver, MGConfig
     from fpr_tpu.ops import stencil2d
+    from fpr_tpu.solvers import multigrid
     from fpr_tpu.solvers.multigrid import mg_solve_ds_jit
+    from fpr_tpu.utils.timing import timed_stats
 
+    cfg = MGConfig(
+        coarse_size=min(513, n), coarse_solver=CoarseSolver.DST
+    )
     h = 1.0 / (n - 1)
     key = jax.random.PRNGKey(0)
     b = (
@@ -83,24 +115,43 @@ def bench_mg(n: int, tol: float):
         .at[1:-1, 1:-1]
         .set(jax.random.uniform(key, (n - 2, n - 2), jnp.float32))
     )
-    from fpr_tpu.utils.timing import timed_stats
 
     # compile + converge once
-    (uh, ul), r, it = mg_solve_ds_jit(b, h, 0.0, tol, 30, return_pair=True)
+    (uh, ul), r, it = mg_solve_ds_jit(b, h, 0.0, tol, 30, cfg=cfg,
+                                      return_pair=True)
     float(r)
 
     def run():
-        (uh, ul), r, _ = mg_solve_ds_jit(b, h, 0.0, tol, 30, return_pair=True)
+        _, r, _ = mg_solve_ds_jit(b, h, 0.0, tol, 30, cfg=cfg,
+                                  return_pair=True)
         float(r)
 
     stats = timed_stats(run, reps=5)
+
+    N = amortize
+
+    @jax.jit
+    def many(b):
+        def body(i, acc):
+            _, r, _ = multigrid.mg_solve_ds(
+                None, b + 0.0 * acc, h, 0.0, tol, 30, cfg=cfg,
+                return_pair=True,
+            )
+            return acc + r
+
+        return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+    float(many(b))
+    per_stats = timed_stats(lambda: float(many(b)), reps=3)
+    per_solve = per_stats.median_s / N
+
     # f64 oracle verification OUTSIDE the timed region (b is
     # f32-representable, so its f64 lift is exact)
     u64 = uh.astype(jnp.float64) + ul.astype(jnp.float64)
     b64 = b.astype(jnp.float64)
     res = stencil2d.residual(u64, b64, h, 0.0)
     rel_true = float(stencil2d.rms(res)) / float(stencil2d.rms(b64))
-    return stats, int(it), rel_true
+    return stats, per_solve, int(it), rel_true
 
 
 def bench_ns():
@@ -166,18 +217,25 @@ def main():
 
     if not args.skip_mg:
         n_mg = 1025 if args.quick else 4097
+        tunnel_ms = _attempt("tunnel", measure_tunnel_overhead)
+        if tunnel_ms is not None:
+            extras["tunnel_rpc_overhead_ms"] = round(tunnel_ms * 1e3, 2)
         mg = _attempt("mg", lambda: bench_mg(n_mg, 1e-6))
         if mg is not None:
-            mg_stats, mg_iters, mg_rel = mg
+            mg_stats, mg_per_solve, mg_iters, mg_rel = mg
             mg_s = mg_stats.median_s
             extras.update({
                 "mg_grid": f"{n_mg}^2",
-                "mg_solver": "double-single defect correction (mg_solve_ds)",
+                "mg_solver": "ds defect correction + DST-513 ladder (mg_solve_ds)",
                 "mg_seconds_to_tol1e-6": mg_s,
                 "mg_iqr_s": mg_stats.iqr_s,
+                "mg_device_seconds_per_solve": round(mg_per_solve, 5),
                 "mg_outer_iterations": mg_iters,
                 "mg_true_f64_rel_residual": mg_rel,
                 "mg_vs_v100_0.154s": 0.154 / mg_s if n_mg == 4097 else None,
+                "mg_device_vs_v100_0.154s": (
+                    round(0.154 / mg_per_solve, 2) if n_mg == 4097 else None
+                ),
             })
 
     if not (args.skip_ns or args.quick):
