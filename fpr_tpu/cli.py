@@ -94,20 +94,29 @@ def cmd_ns(args):
         mg=MGConfig(policy=ExecutionPolicy(args.policy)),
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
+    state0 = None
+    if args.resume:
+        from fpr_tpu.utils import checkpoint
+
+        state0 = checkpoint.load(args.resume)
     if args.fast:
-        # simulate_fast is f32-only and has no snapshot hook; reject the
-        # silently-ignored combinations (mirrors ns_timestepping's guard)
+        # simulate_fast is f32-only (mirrors ns_timestepping's guard)
         if args.f64:
             raise SystemExit("--fast is f32-only; drop --f64 or drop --fast")
-        if args.snapshot_every:
-            raise SystemExit(
-                "--fast has no snapshot support; drop --snapshot-every or --fast"
-            )
-        out = ns.simulate_fast(cfg, verbose=args.verbose, max_steps=args.max_steps)
+        out = ns.simulate_fast(
+            cfg, verbose=args.verbose, max_steps=args.max_steps,
+            snapshot_steps=args.snapshot_every, state0=state0,
+        )
     else:
+        if state0 is not None and "t_hi" in state0:
+            raise SystemExit(
+                "this checkpoint holds fast-path state; resume with --fast"
+            )
         out = ns.simulate(
             cfg, verbose=args.verbose, max_steps=args.max_steps, dtype=dtype,
             snapshot_every=args.snapshot_every,
+            T0=state0.get("T") if state0 else None,
+            W0=state0.get("W") if state0 else None,
         )
     print(
         f"steps: {out.steps}  sim_time: {out.sim_time:.6f}  "
@@ -116,7 +125,11 @@ def cmd_ns(args):
     if args.save:
         from fpr_tpu.utils import checkpoint
 
-        checkpoint.save(args.save, T=out.T, W=out.W, S=out.S, t=out.sim_time)
+        if args.fast:
+            # the exact-resume payload (bitwise continuation via --resume)
+            checkpoint.save(args.save, **out.state)
+        else:
+            checkpoint.save(args.save, T=out.T, W=out.W, S=out.S, t=out.sim_time)
         print(f"saved fields to {args.save}")
 
 
@@ -221,6 +234,9 @@ def main(argv=None):
         "double-single multigrid — the TPU production configuration",
     )
     p.add_argument("--save", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint to resume from (--fast checkpoints resume "
+                        "bitwise; host-loop ones restore T/W)")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_ns)
 

@@ -55,6 +55,11 @@ class NSResult:
     steps: int
     sim_time: float
     snapshots: Optional[list] = None
+    # simulate_fast only: exact-resume payload (the f32/ds state verbatim,
+    # incl. the in-kernel w_sumsq accumulator and the ds sim-time pair) —
+    # feed back as simulate_fast(state0=result.state) for a bitwise
+    # continuation; checkpoint-able via utils.checkpoint.save(**state)
+    state: Optional[dict] = None
 
 
 def init_field(cfg: NSConfig, scheme: InitScheme, key=None, array=None, dtype=jnp.float64):
@@ -361,42 +366,84 @@ def simulate_fast(
     verbose: bool = False,
     seed: int = 0,
     chunk_steps: int = 20_000,
+    snapshot_steps: int = 0,
+    state0: Optional[dict] = None,
 ) -> NSResult:
     """Fused-kernel, on-device-loop simulation (f32 state, ds solves).
 
-    Same contract as ``simulate`` minus snapshots; the physical time loop
-    runs inside lax.while_loop, so the host syncs exactly twice (after the
-    3-step warmup and at the end) plus once per ``chunk_steps`` on very
-    long runs (a single >100 s device execution can outlive the transport's
-    RPC deadline — chunking bounds it while reusing the same executable;
-    the sync is a scalar read, ~2.5 ms per chunk).
+    Same contract as ``simulate``; the physical time loop runs inside
+    lax.while_loop, so the host syncs exactly twice (after the 3-step
+    warmup and at the end) plus once per ``chunk_steps`` on very long runs
+    (a single >100 s device execution can outlive the transport's RPC
+    deadline — chunking bounds it while reusing the same executable; the
+    sync is a scalar read, ~2.5 ms per chunk).
+
+    snapshot_steps > 0: store (T, W, S, sim_time, step) every that-many
+    steps (the reference's do_vis cadence, part2.jl:236-245) — the chunk
+    boundary IS the device->host sync, so snapshots reuse it rather than
+    adding per-step transfers.
+
+    state0: exact-resume payload from a previous run's ``result.state``
+    (or utils.checkpoint.load of one).  The continuation is BITWISE
+    identical to an uninterrupted run: the payload carries the f32 T/W,
+    the ds S pair, the in-kernel w_sumsq accumulator, the double-single
+    sim-time pair, and the step count.  max_steps remains the TOTAL step
+    budget including the resumed-from steps.
     """
     from fpr_tpu.ops import pallas2d
 
     ny, nx = cfg.ny, cfg.nx
     f32 = jnp.float32
-    key = jax.random.PRNGKey(seed)
-    T = init_field(cfg, cfg.T_init, key=key, dtype=f32) if T0 is None else jnp.asarray(T0, f32)
-    W = init_field(cfg, cfg.W_init, key=key, dtype=f32) if W0 is None else jnp.asarray(W0, f32)
-
     br = pallas2d._pick_br(ny, nx, 4)
-    TW = jnp.stack([pallas2d.pad2d(T, br), pallas2d.pad2d(W, br)])
-    S_ds = jnp.zeros((2,) + TW.shape[1:], f32)
-    w_ss = jnp.sum(W * W).astype(f32)  # once; carried in-kernel thereafter
-    th = jnp.asarray(0.0, f32)
-    tl = jnp.asarray(0.0, f32)
-    step = jnp.asarray(0, jnp.int32)
+
+    if state0 is not None:
+        TW = jnp.stack([
+            pallas2d.pad2d(jnp.asarray(state0["T"], f32), br),
+            pallas2d.pad2d(jnp.asarray(state0["W"], f32), br),
+        ])
+        S_ds = jnp.stack([
+            pallas2d.pad2d(jnp.asarray(state0["S_hi"], f32), br),
+            pallas2d.pad2d(jnp.asarray(state0["S_lo"], f32), br),
+        ])
+        w_ss = jnp.asarray(state0["w_sumsq"], f32)
+        th = jnp.asarray(state0["t_hi"], f32)
+        tl = jnp.asarray(state0["t_lo"], f32)
+        step = jnp.asarray(int(state0["step"]), jnp.int32)
+        start_step = int(state0["step"])
+    else:
+        key = jax.random.PRNGKey(seed)
+        T = init_field(cfg, cfg.T_init, key=key, dtype=f32) if T0 is None else jnp.asarray(T0, f32)
+        W = init_field(cfg, cfg.W_init, key=key, dtype=f32) if W0 is None else jnp.asarray(W0, f32)
+        TW = jnp.stack([pallas2d.pad2d(T, br), pallas2d.pad2d(W, br)])
+        S_ds = jnp.zeros((2,) + TW.shape[1:], f32)
+        w_ss = jnp.sum(W * W).astype(f32)  # once; carried in-kernel thereafter
+        th = jnp.asarray(0.0, f32)
+        tl = jnp.asarray(0.0, f32)
+        step = jnp.asarray(0, jnp.int32)
+        start_step = 0
     hard_cap = jnp.asarray(
         max_steps if max_steps is not None else 1_000_000, jnp.int32
     )
+    if snapshot_steps:
+        chunk_steps = min(chunk_steps, snapshot_steps)
+    snapshots = [] if snapshot_steps else None
 
-    # warmup chunk (steps 1-3 excluded from timing, part2.jl:182-184)
-    warm = jnp.minimum(jnp.asarray(3, jnp.int32), hard_cap)
-    TW, S_ds, w_ss, th, tl, step = _fast_loop(
-        TW, S_ds, w_ss, th, tl, step, warm, cfg, br
-    )
-    jax.block_until_ready(TW)
-    float(th)  # force the scalar through (tunnel-safe sync)
+    def host_fields():
+        T = np.asarray(pallas2d.unpad2d(TW[0], ny, nx), np.float64)
+        W = np.asarray(pallas2d.unpad2d(TW[1], ny, nx), np.float64)
+        S = np.asarray(
+            pallas2d.unpad2d(S_ds[0], ny, nx), np.float64
+        ) + np.asarray(pallas2d.unpad2d(S_ds[1], ny, nx), np.float64)
+        return T, W, S
+
+    if start_step == 0:
+        # warmup chunk (steps 1-3 excluded from timing, part2.jl:182-184)
+        warm = jnp.minimum(jnp.asarray(3, jnp.int32), hard_cap)
+        TW, S_ds, w_ss, th, tl, step = _fast_loop(
+            TW, S_ds, w_ss, th, tl, step, warm, cfg, br
+        )
+        jax.block_until_ready(TW)
+        float(th)  # force the scalar through (tunnel-safe sync)
     tic = time.time()
     while True:
         limit = jnp.minimum(step + jnp.asarray(chunk_steps, jnp.int32), hard_cap)
@@ -404,13 +451,19 @@ def simulate_fast(
             TW, S_ds, w_ss, th, tl, step, limit, cfg, br
         )
         sim_time = float(th) + float(tl)  # the sync that stops the clock
-        if sim_time >= cfg.ttot or int(step) >= int(hard_cap):
-            break
-        if int(step) < int(limit):
+        done = sim_time >= cfg.ttot or int(step) >= int(hard_cap)
+        if not done and int(step) < int(limit):
             # the device loop stopped short of the chunk limit, so its own
             # time test (against the ~48-bit split of ttot) is done even if
             # the f64 host comparison disagrees in the last bits — avoid a
             # zero-progress spin
+            done = True
+        if snapshots is not None:
+            # one snapshot per chunk sync (cadence == snapshot_steps while
+            # running; the final partial chunk contributes the end state)
+            Th, Wh, Sh = host_fields()
+            snapshots.append((Th, Wh, Sh, sim_time, int(step)))
+        if done:
             break
         if verbose:
             print(f"time, steps: {sim_time} {int(step)}")
@@ -419,16 +472,23 @@ def simulate_fast(
     steps = int(step)
     if verbose:
         print(f"time, steps: {sim_time} {steps}")
-    T = np.asarray(pallas2d.unpad2d(TW[0], ny, nx), np.float64)
-    W = np.asarray(pallas2d.unpad2d(TW[1], ny, nx), np.float64)
-    S = np.asarray(
-        pallas2d.unpad2d(S_ds[0], ny, nx), np.float64
-    ) + np.asarray(pallas2d.unpad2d(S_ds[1], ny, nx), np.float64)
+    T, W, S = host_fields()
+    state = dict(
+        T=np.asarray(pallas2d.unpad2d(TW[0], ny, nx)),
+        W=np.asarray(pallas2d.unpad2d(TW[1], ny, nx)),
+        S_hi=np.asarray(pallas2d.unpad2d(S_ds[0], ny, nx)),
+        S_lo=np.asarray(pallas2d.unpad2d(S_ds[1], ny, nx)),
+        w_sumsq=np.asarray(w_ss),
+        t_hi=np.asarray(th),
+        t_lo=np.asarray(tl),
+        step=np.asarray(steps),
+    )
     return NSResult(
         T=T, W=W, S=S,
         t_elapsed=t_elapsed,
-        timed_iters=max(steps - 3, 0),
+        timed_iters=max(steps - start_step - (3 if start_step == 0 else 0), 0),
         steps=steps,
         sim_time=sim_time,
-        snapshots=None,
+        snapshots=snapshots,
+        state=state,
     )

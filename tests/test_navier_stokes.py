@@ -157,3 +157,52 @@ def test_simulate_fast_chunked_loop_matches_unchunked():
     assert chunked.steps == one.steps
     np.testing.assert_array_equal(chunked.T, one.T)
     np.testing.assert_array_equal(chunked.W, one.W)
+
+
+def test_simulate_fast_resume_bitwise():
+    """Checkpoint/resume mid-run: M steps + resume to N == N straight steps
+    BITWISE (the state payload carries the f32/ds state, the in-kernel
+    w_sumsq accumulator, and the ds sim-time pair verbatim)."""
+    from fpr_tpu.models.navier_stokes import simulate_fast
+    from fpr_tpu.utils import checkpoint
+
+    cfg = NSConfig(nx=65, ny=65, ttot=1e-3, beta=0.0, Pr=0.01,
+                   tol=1e-7, niters=50, W_init=InitScheme.RANDOM)
+    rng = np.random.default_rng(5)
+    W0 = rng.standard_normal((65, 65)) * 10.0
+    full = simulate_fast(cfg, W0=W0, max_steps=9)
+    part = simulate_fast(cfg, W0=W0, max_steps=5)
+    assert part.steps == 5
+    # round-trip the payload through the npz checkpoint
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ns.npz")
+        checkpoint.save(p, **part.state)
+        state = checkpoint.load(p)
+    resumed = simulate_fast(cfg, max_steps=9, state0=state)
+    assert resumed.steps == full.steps
+    assert resumed.sim_time == full.sim_time
+    np.testing.assert_array_equal(resumed.state["T"], full.state["T"])
+    np.testing.assert_array_equal(resumed.state["W"], full.state["W"])
+    np.testing.assert_array_equal(resumed.state["S_hi"], full.state["S_hi"])
+    np.testing.assert_array_equal(resumed.state["S_lo"], full.state["S_lo"])
+    np.testing.assert_array_equal(resumed.state["w_sumsq"], full.state["w_sumsq"])
+
+
+def test_simulate_fast_snapshots():
+    """snapshot_steps rides the chunk sync: cadence while running, final
+    state last, times/steps monotone (reference do_vis, part2.jl:236-245)."""
+    from fpr_tpu.models.navier_stokes import simulate_fast
+
+    cfg = NSConfig(nx=65, ny=65, ttot=1e-3, beta=0.0, Pr=0.01,
+                   tol=1e-7, niters=50, W_init=InitScheme.RANDOM)
+    rng = np.random.default_rng(6)
+    W0 = rng.standard_normal((65, 65)) * 10.0
+    out = simulate_fast(cfg, W0=W0, max_steps=13, snapshot_steps=4)
+    assert out.snapshots is not None and len(out.snapshots) >= 2
+    steps = [s[4] for s in out.snapshots]
+    times = [s[3] for s in out.snapshots]
+    assert steps == sorted(steps) and times == sorted(times)
+    assert steps[-1] == out.steps
+    T_last = out.snapshots[-1][0]
+    np.testing.assert_array_equal(T_last, out.T)
