@@ -59,12 +59,13 @@ def cmd_diffusion3d(args):
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.devices > 1:
-        if policy is ExecutionPolicy.PALLAS_DS or args.check_every > 1:
+        if policy is ExecutionPolicy.PALLAS_DS:
             raise SystemExit(
-                "--devices > 1 supports --policy jnp/pallas with "
-                "--check-every 1 (the ds tier and the temporally-fused "
-                "kernel are single-device paths)"
+                "--devices > 1 supports --policy jnp/pallas (the ds tier "
+                "is a single-device path)"
             )
+        if args.check_every > 1 and policy is not ExecutionPolicy.PALLAS:
+            raise SystemExit("--check-every > 1 over a mesh needs --policy pallas")
         mesh = make_mesh((args.devices,), ("z",))
         out = dist_diffusion.solve_distributed(cfg, mesh, dtype=dtype, verbose=args.verbose)
     else:

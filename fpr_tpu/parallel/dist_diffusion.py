@@ -86,6 +86,18 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
     # y/x dims (8 sublanes / 128 lanes per side); z always ghost-padded
     ghosts = (8 if 1 in sharded else 0, 128 if 2 in sharded else 0)
 
+    # K-deep temporal fusion over the mesh (check_every=K): one K-plane
+    # halo message per direction feeds K fused in-VMEM iterations (the
+    # communication-avoiding exchange; z-decomposed meshes only)
+    Kf = cfg.check_every
+    use_kfused = use_pallas and Kf > 1 and set(sharded) <= {0}
+    if use_pallas and Kf > 1 and not use_kfused:
+        raise ValueError(
+            "check_every > 1 over a mesh needs a z-only decomposition"
+        )
+    if use_kfused and cfg.nz < Kf:
+        raise ValueError(f"local nz={cfg.nz} must be >= check_every={Kf}")
+
     overlap = cfg.overlap_comm and not use_pallas and set(sharded) <= {0}
     # Pallas overlap (@hide_communication analog for the fused-kernel tier,
     # part1_kernel_programming.jl:185-188): the kernel updates the shard's
@@ -134,6 +146,53 @@ def build_step(cfg: DiffusionConfig, mesh: Mesh, axis: str = "z"):
                 (Htau_l, jnp.asarray(jnp.inf, Htau_l.dtype), jnp.asarray(0, jnp.int32)),
             )
             return Hl, Hl, err, iters
+
+        if use_kfused:
+            from fpr_tpu.ops import pallas3d
+
+            nzl = cfg.nz
+            Hp = pallas3d.pad3dk(Htau_l, Kf)
+            Ht_in = pallas3d.pad_htk(Ht_l, Kf)
+            if 0 in sharded:
+                # Ht is constant through pseudo-time: its (K-1)-deep ghost
+                # planes are exchanged once per physical step
+                Ht_in = halo.refresh_ghosts_zk(
+                    Ht_in, nzl, sharded[0], Kf - 1, base=Kf - 1
+                )
+                idx = jax.lax.axis_index(sharded[0])
+                nsh = jax.lax.axis_size(sharded[0])
+                # interior shard edges extend into the ghost planes: the
+                # fused sweeps recompute them locally (the values the
+                # neighbor computes for those planes, bitwise)
+                zb = (
+                    jnp.where(idx == 0, 1, -Kf),
+                    jnp.where(idx == nsh - 1, nzl - 2, nzl - 1 + Kf),
+                )
+            else:
+                zb = (jnp.asarray(1), jnp.asarray(nzl - 2))
+
+            def cond_k(carry):
+                _, err, it = carry
+                return jnp.logical_and(err > cfg.tol, it < cfg.iter_max)
+
+            def body_k(carry):
+                Hp, _, it = carry
+                if 0 in sharded:
+                    Hp = halo.refresh_ghosts_zk(Hp, nzl, sharded[0], Kf)
+                Hp, sumsq = pallas3d.dual_time_stepk_padded(
+                    Ht_in, Hp, local_shape, K=Kf, z_bounds=zb, **kw
+                )
+                sumsq = reductions.dist_sumsq(sumsq, all_axes)
+                err = jnp.sqrt(sumsq) * cfg.dt / sqrt_n
+                return Hp, err.astype(Hp.dtype), it + Kf
+
+            Hp, err, iters = jax.lax.while_loop(
+                cond_k,
+                body_k,
+                (Hp, jnp.asarray(jnp.inf, Hp.dtype), jnp.asarray(0, jnp.int32)),
+            )
+            Ht_new = pallas3d.unpad3dk(Hp, local_shape, Kf)
+            return Ht_new, Ht_new, err, iters
 
         if use_pallas:
             from fpr_tpu.ops import pallas3d

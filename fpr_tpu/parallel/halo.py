@@ -81,6 +81,30 @@ def set_ghost_planes_z(padded: jnp.ndarray, axis_name: str):
     return padded
 
 
+def refresh_ghosts_zk(Hp, nz: int, axis_name: str, K: int, base: int | None = None):
+    """Refresh K-deep z ghost planes of a K-ghost-padded local block
+    (fpr_tpu.ops.pallas3d.pad3dk layout: physical planes at [base, base+nz),
+    base defaulting to K) — the communication-avoiding halo exchange for
+    the temporally-fused kernel: ONE K-plane message per direction feeds K
+    fused pseudo-time iterations (the deep halo absorbs them by in-VMEM
+    recomputation), vs K one-plane exchanges on the unfused path.  Fewer,
+    bigger ICI messages — the scaled analog of @hide_communication
+    (part1_kernel_programming.jl:185-188)."""
+    base = K if base is None else base
+    if K == 0:
+        return Hp
+    n = lax.axis_size(axis_name)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    lo_face = Hp[base + nz - K : base + nz]   # my last K physical planes
+    hi_face = Hp[base : base + K]             # my first K physical planes
+    ghost_lo = lax.ppermute(lo_face, axis_name, fwd)
+    ghost_hi = lax.ppermute(hi_face, axis_name, bwd)
+    Hp = Hp.at[base - K : base].set(ghost_lo)
+    Hp = Hp.at[base + nz : base + nz + K].set(ghost_hi)
+    return Hp
+
+
 def refresh_ghosts_padded(Hp, shape, sharded, ghosts):
     """Refresh every sharded dimension's ghost layer of a Pallas-layout
     (nz+2, gy+ny8+gy, gx+nx128+gx) block (fpr_tpu.ops.pallas3d.pad3d).

@@ -209,3 +209,31 @@ def test_distributed_ns_matches_single_device(rng):
     np.testing.assert_allclose(got.T, ref.T, atol=1e-11)
     np.testing.assert_allclose(got.W, ref.W, atol=1e-9 * np.abs(ref.W).max())
     np.testing.assert_allclose(got.S, ref.S, atol=1e-11)
+
+
+def test_dist_k_fused_halos_match_unfused_and_single():
+    """check_every=K over the mesh (K-deep communication-avoiding halos):
+    K=3 distributed == K=1 distributed == single-device K=3, at a fixed
+    iteration budget (tol=0 so all paths run exactly iter_max iterations)."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh((4,), ("z",))
+    base = dict(nx=16, ny=16, nz=6, ttot=0.2, tol=0.0, iter_max=6,
+                policy=ExecutionPolicy.PALLAS)
+    out1 = dist_diffusion.solve_distributed(
+        DiffusionConfig(**base, check_every=1), mesh, dtype=jnp.float32
+    )
+    out3 = dist_diffusion.solve_distributed(
+        DiffusionConfig(**base, check_every=3), mesh, dtype=jnp.float32
+    )
+    assert out1.iters_total == out3.iters_total == 6
+    np.testing.assert_array_equal(out3.H, out1.H)  # bitwise
+
+    # single-device on the same global grid, same fusion depth
+    ref = diffusion3d.solve(
+        DiffusionConfig(nx=16, ny=16, nz=24, ttot=0.2, tol=0.0, iter_max=6,
+                        policy=ExecutionPolicy.PALLAS, check_every=3),
+        dtype=jnp.float32,
+    )
+    assert ref.iters_total == out3.iters_total
+    np.testing.assert_array_equal(out3.H, ref.H)  # bitwise
