@@ -173,6 +173,58 @@ def bench_ns():
     return float(np.median(times)), out.timed_iters, times
 
 
+def check_aliased_kernels():
+    """Real-TPU value check for the ALIASED Pallas kernels.
+
+    input_output_aliases creates genuine RAW hazards against neighboring
+    blocks' input windows; interpret mode neither honors aliasing nor
+    models DMA timing, so only a multi-block run on real hardware can
+    catch a reintroduced race (CLAUDE.md round-3 notes).  Compares the
+    stacked (aliased) K-fused kernel against the non-aliased padded K
+    kernel over several iterations; must agree BITWISE.
+    """
+    import jax.numpy as jnp
+
+    from fpr_tpu.ops import pallas3d
+
+    n, K, iters = 128, 3, 4
+    shape = (n, n, n)
+    kw = dict(dt=0.2, dtau=1e-4, dx=0.05, dy=0.05, dz=0.05, D=1.0)
+    key = jax.random.PRNGKey(7)
+    Ht = jax.random.uniform(key, shape, jnp.float32)
+    Htau = jax.random.uniform(jax.random.PRNGKey(8), shape, jnp.float32)
+
+    @jax.jit
+    def run_stacked(Ht, Htau):
+        st = pallas3d.stack_state_k(Ht, Htau, K)
+        def body(i, carry):
+            st, _ = carry
+            return pallas3d.dual_time_stepk_stacked(st, shape, K=K, **kw)
+        st, ss = jax.lax.fori_loop(0, iters, body, (st, jnp.float32(0)))
+        return pallas3d.unstack_state_k(st, shape, K), ss
+
+    @jax.jit
+    def run_padded(Ht, Htau):
+        Hp = pallas3d.pad3dk(Htau, K)
+        Hti = pallas3d.pad_htk(Ht, K)
+        def body(i, carry):
+            Hp, _ = carry
+            return pallas3d.dual_time_stepk_padded(Hti, Hp, shape, K=K, **kw)
+        Hp, ss = jax.lax.fori_loop(0, iters, body, (Hp, jnp.float32(0)))
+        return pallas3d.unpad3dk(Hp, shape, K), ss
+
+    a, ssa = run_stacked(Ht, Htau)
+    b, ssb = run_padded(Ht, Htau)
+    a, b = np.asarray(a), np.asarray(b)
+    if not np.array_equal(a, b):
+        bad = int((a != b).sum())
+        raise AssertionError(
+            f"ALIASED-KERNEL RACE: stacked != padded at {bad} cells "
+            f"(max |diff| {np.abs(a - b).max():.3e})"
+        )
+    return True
+
+
 def _attempt(label, fn, tries=2):
     """Run a benchmark component with one retry: the remote compile helper
     occasionally wedges or 500s transiently (CLAUDE.md), and one flaky
@@ -197,6 +249,14 @@ def main():
 
     jax.config.update("jax_enable_x64", True)
 
+    # aliased-kernel race check (only real-TPU multi-block runs catch
+    # these) — runs in --quick too, so every bench invocation witnesses it
+    aliased_ok = (
+        bool(_attempt("aliased_check", check_aliased_kernels))
+        if jax.default_backend() == "tpu"
+        else None
+    )
+
     n_diff = 128 if args.quick else 512
     iters = 99 if args.quick else 300  # multiple of the K=3 fusion depth
     diff = _attempt("diffusion", lambda: bench_diffusion(n_diff, iters))
@@ -211,6 +271,7 @@ def main():
         "diffusion_gflops": res.performance / 1e9 if res else None,
         "diffusion_iqr_s": diff_stats.iqr_s if diff_stats else None,
         "timing": "median of 3 reps (5 for MG); iqr_s columns carry spread",
+        "aliased_kernel_check": aliased_ok,
         "dtype": "float32",
         "counting_model": "shmem (6+1 words/cell/iter), reference parity",
     }

@@ -102,13 +102,32 @@ def main():
                     continue
                 try:
                     st, (u, r, it) = timed(jax.jit(fn))
+                    device_s = ""
+                    if name == "ds" and backend == "tpu":
+                        N = 20 if k <= 10 else (5 if k <= 12 else 2)
+
+                        @jax.jit
+                        def many(b):
+                            def body(i, acc):
+                                _, rr, _ = multigrid.mg_solve_ds(
+                                    None, b + 0.0 * acc, h, 0.0, args.tol,
+                                    30, return_pair=True,
+                                )
+                                return acc + rr
+
+                            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+                        float(many(b32))
+                        dst_ = timed_stats(lambda: float(many(b32)), reps=3)
+                        device_s = round(dst_.median_s / N, 5)
                 except Exception as exc:
                     print(f"k={k} {name}: FAILED {type(exc).__name__}")
                     jax.clear_caches()
                     continue
                 row = dict(k=k, solver=name, backend=backend,
                            seconds=round(st.median_s, 4), iters=int(it),
-                           iqr_s=round(st.iqr_s, 5), reps=st.reps)
+                           iqr_s=round(st.iqr_s, 5), reps=st.reps,
+                           device_s=device_s)
                 append_csv_row(args.out, row, key_fields=("k", "solver", "backend"))
                 print(row)
         return
@@ -133,6 +152,7 @@ def main():
                 n = 2**k + 1
                 h = 1.0 / (n - 1)
                 cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse)
+                device_s = None
                 try:
                     if solver == "ds":
                         # double-single defect correction; rhs created
@@ -144,6 +164,30 @@ def main():
                             b32, h, 0.0, args.tol, 30, cfg=cfg,
                             return_pair=True,
                         )
+                        # amortized per-solve device time: N data-chained
+                        # solves inside ONE jit — excludes the dev
+                        # tunnel's per-call RPC latency (2.5-27 ms
+                        # observed), which otherwise floors every k<12
+                        # row at the same constant
+                        N = 20 if k <= 10 else (5 if k <= 12 else 2)
+
+                        @jax.jit
+                        def many(b):
+                            def body(i, acc):
+                                _, r, _ = multigrid.mg_solve_ds(
+                                    None, b + 0.0 * acc, h, 0.0, args.tol,
+                                    30, cfg=cfg, return_pair=True,
+                                )
+                                return acc + r
+
+                            return jax.lax.fori_loop(
+                                0, N, body, jnp.float32(0.0)
+                            )
+
+                        def measure_device():
+                            float(many(b32))  # compile+warm
+                            st = timed_stats(lambda: float(many(b32)), reps=3)
+                            return st.median_s / N
                     elif solver == "mixed":
                         b = rhs(n, jnp.float64)
                         u0 = jnp.zeros((n, n), jnp.float64)
@@ -157,6 +201,8 @@ def main():
                             u0, b, h, 0.0, args.tol, 30, cfg=cfg
                         )
                     st, (u, r, it) = timed(fn)
+                    if solver == "ds" and backend == "tpu":
+                        device_s = measure_device()
                 except Exception as exc:
                     print(f"k={k} l={l} {coarse.value} {solver}: FAILED {type(exc).__name__}")
                     # the largest grids (k=14: >1 GB per buffer) can
@@ -169,6 +215,7 @@ def main():
                     k=k, l=l, coarse=coarse.value, solver=solver,
                     backend=backend, seconds=round(st.median_s, 4),
                     iters=int(it), iqr_s=round(st.iqr_s, 5), reps=st.reps,
+                    device_s=round(device_s, 5) if device_s else "",
                 )
                 append_csv_row(
                     args.out, row,

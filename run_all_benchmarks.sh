@@ -19,9 +19,9 @@ $PY -m fpr_tpu.experiments.part1_error_experiments --mode grid
 $PY -m fpr_tpu.experiments.part1_error_experiments --mode tol --n 128
 
 echo "== multigrid sweep =="
-$PY -m fpr_tpu.experiments.multigrid_bench --max-k 12
-$PY -m fpr_tpu.experiments.multigrid_bench --solvers ds --min-k 10 --max-k 14
-$PY -m fpr_tpu.experiments.multigrid_bench --workprec --max-k 10 \
+$PY -m fpr_tpu.experiments.multigrid_bench --max-k 12 --dst
+$PY -m fpr_tpu.experiments.multigrid_bench --solvers ds --min-k 10 --max-k 14 --dst
+$PY -m fpr_tpu.experiments.multigrid_bench --workprec --max-k 14 \
     --out "$RESULTS/mg_workprecision.csv"
 
 echo "== NS timestepping (full 2049x513 scale; resume-by-key) =="
