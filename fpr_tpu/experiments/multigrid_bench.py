@@ -86,7 +86,9 @@ def main():
                 "mg": lambda: multigrid.mg_solve_jit(u0, b, h, 0.0, args.tol, 30),
                 "mixed": lambda: multigrid.mg_solve_mixed_jit(u0, b, h, 0.0, args.tol, 30),
                 "ds": lambda: multigrid.mg_solve_ds_jit(
-                    b32, h, 0.0, args.tol, 30, return_pair=True
+                    b32, h, 0.0, args.tol, 30, return_pair=True,
+                    cfg=MGConfig(coarse_size=min(513, n),
+                                 coarse_solver=CoarseSolver.DST),
                 ),
                 "cg": lambda: krylov.cg(b, h, h, 0.0, args.tol, 40000),
                 "mg_pcg": lambda: krylov.mg_preconditioned_cg(b, h, 0.0, args.tol, 100),
@@ -103,8 +105,8 @@ def main():
                 try:
                     st, (u, r, it) = timed(jax.jit(fn))
                     device_s = ""
-                    if name == "ds" and backend == "tpu":
-                        N = 20 if k <= 10 else (5 if k <= 12 else 2)
+                    if name == "ds" and backend == "tpu" and k <= 12:
+                        N = 20 if k <= 10 else 5
 
                         @jax.jit
                         def many(b):
@@ -112,6 +114,8 @@ def main():
                                 _, rr, _ = multigrid.mg_solve_ds(
                                     None, b + 0.0 * acc, h, 0.0, args.tol,
                                     30, return_pair=True,
+                                    cfg=MGConfig(coarse_size=min(513, n),
+                                                 coarse_solver=CoarseSolver.DST),
                                 )
                                 return acc + rr
 
@@ -168,8 +172,10 @@ def main():
                         # solves inside ONE jit — excludes the dev
                         # tunnel's per-call RPC latency (2.5-27 ms
                         # observed), which otherwise floors every k<12
-                        # row at the same constant
-                        N = 20 if k <= 10 else (5 if k <= 12 else 2)
+                        # row at the same constant.  Beyond k=12 device
+                        # time dwarfs the tunnel and the doubled trace
+                        # cost isn't worth it.
+                        N = 20 if k <= 10 else 5
 
                         @jax.jit
                         def many(b):
@@ -201,7 +207,7 @@ def main():
                             u0, b, h, 0.0, args.tol, 30, cfg=cfg
                         )
                     st, (u, r, it) = timed(fn)
-                    if solver == "ds" and backend == "tpu":
+                    if solver == "ds" and backend == "tpu" and k <= 12:
                         device_s = measure_device()
                 except Exception as exc:
                     print(f"k={k} l={l} {coarse.value} {solver}: FAILED {type(exc).__name__}")
