@@ -130,19 +130,27 @@ def bench_mg(n: int, tol: float, amortize: int = 10):
 
     N = amortize
 
+    # while_loop (traced bound), NOT fori: an unrollable loop of short
+    # program segments pays ~1.3 ms of un-hidden dispatch per segment
+    # through the tunnel, which a while_loop's on-device trip does not
+    # (measured: a trivial chained pallas_call costs 1291 us in fori vs
+    # 104 us in while_loop)
     @jax.jit
-    def many(b):
-        def body(i, acc):
+    def many(b, n_it):
+        def cond(c):
+            return c[0] < n_it
+        def body(c):
+            i, acc = c
             _, r, _ = multigrid.mg_solve_ds(
                 None, b + 0.0 * acc, h, 0.0, tol, 30, cfg=cfg,
                 return_pair=True,
             )
-            return acc + r
+            return i + 1, acc + r
 
-        return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))[1]
 
-    float(many(b))
-    per_stats = timed_stats(lambda: float(many(b)), reps=3)
+    float(many(b, jnp.int32(N)))
+    per_stats = timed_stats(lambda: float(many(b, jnp.int32(N))), reps=3)
     per_solve = per_stats.median_s / N
 
     # f64 oracle verification OUTSIDE the timed region (b is

@@ -109,20 +109,26 @@ def main():
                         N = 20 if k <= 10 else 5
 
                         @jax.jit
-                        def many(b):
-                            def body(i, acc):
+                        def many(b, n_it):
+                            def cond(c):
+                                return c[0] < n_it
+
+                            def body(c):
+                                i, acc = c
                                 _, rr, _ = multigrid.mg_solve_ds(
                                     None, b + 0.0 * acc, h, 0.0, args.tol,
                                     30, return_pair=True,
                                     cfg=MGConfig(coarse_size=min(513, n),
                                                  coarse_solver=CoarseSolver.DST),
                                 )
-                                return acc + rr
+                                return i + 1, acc + rr
 
-                            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+                            return jax.lax.while_loop(
+                                cond, body, (jnp.int32(0), jnp.float32(0.0))
+                            )[1]
 
-                        float(many(b32))
-                        dst_ = timed_stats(lambda: float(many(b32)), reps=3)
+                        float(many(b32, jnp.int32(N)))
+                        dst_ = timed_stats(lambda: float(many(b32, jnp.int32(N))), reps=3)
                         device_s = round(dst_.median_s / N, 5)
                 except Exception as exc:
                     print(f"k={k} {name}: FAILED {type(exc).__name__}")
@@ -177,22 +183,30 @@ def main():
                         # cost isn't worth it.
                         N = 20 if k <= 10 else 5
 
+                        # while_loop, not fori: unrolled short segments
+                        # pay ~1.3 ms un-hidden dispatch each (measured)
                         @jax.jit
-                        def many(b):
-                            def body(i, acc):
+                        def many(b, n_it):
+                            def cond(c):
+                                return c[0] < n_it
+
+                            def body(c):
+                                i, acc = c
                                 _, r, _ = multigrid.mg_solve_ds(
                                     None, b + 0.0 * acc, h, 0.0, args.tol,
                                     30, cfg=cfg, return_pair=True,
                                 )
-                                return acc + r
+                                return i + 1, acc + r
 
-                            return jax.lax.fori_loop(
-                                0, N, body, jnp.float32(0.0)
-                            )
+                            return jax.lax.while_loop(
+                                cond, body, (jnp.int32(0), jnp.float32(0.0))
+                            )[1]
 
                         def measure_device():
-                            float(many(b32))  # compile+warm
-                            st = timed_stats(lambda: float(many(b32)), reps=3)
+                            float(many(b32, jnp.int32(N)))  # compile+warm
+                            st = timed_stats(
+                                lambda: float(many(b32, jnp.int32(N))), reps=3
+                            )
                             return st.median_s / N
                     elif solver == "mixed":
                         b = rhs(n, jnp.float64)

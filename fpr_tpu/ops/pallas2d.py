@@ -53,6 +53,17 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _vmem_limit(scratch_bytes: int, nxp: int) -> int:
+    """Declared VMEM footprint: the measured-envelope default (100 MB;
+    127 MB for the widest layouts), raised only when the blocking's actual
+    scratch demands it — XLA schedules around the DECLARED footprint, and
+    blanket-raising it serialized neighboring ops (measured -32% on the NS
+    step graph, round 2)."""
+    base = (127 if nxp >= 8320 else 100) * 1024 * 1024
+    need = int(scratch_bytes * 1.3) + 8 * 1024 * 1024  # Mosaic spill slack
+    return min(127 * 1024 * 1024, max(base, need))
+
+
 def _pick_br(ny: int, nx: int, itemsize: int) -> int:
     """Block rows: multiple of 16 (corr_smooth2_rp needs the coarse windows
     sublane-aligned and a fixed fine/coarse row parity), sized so the
@@ -425,6 +436,9 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
         BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
         h=h, alpha=alpha, split_res=split_res, zero_u=zero_u,
     )
+    scratch = dtype.itemsize * nxp * (
+        2 * (BR + 2 * PAD) * (1 if zero_u else 2) + 2 * 2 * BR
+    )
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -451,10 +465,7 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            # declare the measured envelope, not a blanket maximum: XLA
-            # schedules around the declared footprint, and over-declaring
-            # serializes neighboring ops (measured on the NS step graph)
-            vmem_limit_bytes=(127 if nxp >= 8320 else 100) * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(scratch, nxp),
         ),
         interpret=interpret,
     )
