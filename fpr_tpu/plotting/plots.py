@@ -31,15 +31,26 @@ def plot_scaling(results: Path, figs: Path):
         sel = [r for r in rows if r["mode"] == mode]
         if not sel:
             continue
-        sel.sort(key=lambda r: int(r["devices"]))
-        devs = [int(r["devices"]) for r in sel]
-        tput = [float(r["throughput_gbs"]) for r in sel]
-        perf = [float(r["performance_gflops"]) for r in sel]
+        # split the real-hardware points from the virtual-mesh series (the
+        # latter validate the sharding path on shared host cores — not
+        # scaling measurements; labeled accordingly)
+        real = sorted([r for r in sel if r.get("virtual") != "True"],
+                      key=lambda r: int(r["devices"]))
+        virt = sorted([r for r in sel if r.get("virtual") == "True"],
+                      key=lambda r: int(r["devices"]))
         fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
-        axes[0].bar([str(d) for d in devs], tput)
+        for series, tag in ((real, "TPU"), (virt, "virtual CPU mesh\n(validation)")):
+            if not series:
+                continue
+            devs = [f"{r['devices']} ({tag.splitlines()[0]})" for r in series]
+            axes[0].bar(devs, [float(r["throughput_gbs"]) for r in series])
+            axes[1].bar(devs, [float(r["performance_gflops"]) for r in series])
         axes[0].set(xlabel="devices", ylabel="T_eff [GB/s]", title=f"{mode} scaling")
-        axes[1].bar([str(d) for d in devs], perf)
+        axes[0].set_yscale("log")
         axes[1].set(xlabel="devices", ylabel="GFLOP/s", title=f"{mode} scaling")
+        axes[1].set_yscale("log")
+        for ax in axes:
+            ax.tick_params(axis="x", labelsize=7, rotation=45)
         fig.tight_layout()
         fig.savefig(figs / f"diffusion_{mode}_scaling.png", dpi=150)
         plt.close(fig)
@@ -108,18 +119,30 @@ def plot_mg_bench(results: Path, figs: Path):
     if not path.exists():
         return
     rows = _read(path)
-    fig, ax = plt.subplots(figsize=(6, 4))
+
+    def best_time(r):
+        # prefer the amortized device time (excludes the dev tunnel's
+        # per-call RPC latency) where measured
+        d = r.get("device_s", "")
+        return float(d) if d else float(r["seconds"])
+
+    fig, ax = plt.subplots(figsize=(6.5, 4))
     keys = sorted({(r["coarse"], r["solver"]) for r in rows})
     for coarse, solver in keys:
-        sel = sorted(
-            [r for r in rows if r["coarse"] == coarse and r["solver"] == solver],
-            key=lambda r: int(r["k"]),
-        )
-        n = [(2 ** int(r["k"]) + 1) ** 2 for r in sel]
-        t = [float(r["seconds"]) for r in sel]
+        sel = [r for r in rows if r["coarse"] == coarse and r["solver"] == solver]
+        # one (best) point per k
+        byk = {}
+        for r in sel:
+            k = int(r["k"])
+            t = best_time(r)
+            if k not in byk or t < byk[k]:
+                byk[k] = t
+        ks = sorted(byk)
+        n = [(2 ** k + 1) ** 2 for k in ks]
+        t = [byk[k] for k in ks]
         ax.loglog(n, t, "o-", label=f"{coarse}/{solver}")
     ax.set(xlabel="unknowns", ylabel="time to tol=1e-6 [s]")
-    ax.legend()
+    ax.legend(fontsize=8)
     fig.tight_layout()
     fig.savefig(figs / "multigrid_bench.png", dpi=150)
     plt.close(fig)
