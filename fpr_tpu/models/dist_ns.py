@@ -1,0 +1,238 @@
+"""Distributed Navier-Stokes fast path: the fused-kernel explicit
+simulation row-sharded over a device mesh.
+
+Completes the production-tier distribution story (VERDICT round-2 item 1):
+the same per-step pipeline as ``navier_stokes.simulate_fast`` — warm-started
+double-single multigrid for the streamfunction (with in-kernel velocity
+maxima), the fused NS operator kernel, on-device adaptive dt and ds
+sim-time — but every array is a shard-local rp block, halos ride 8-row
+ppermute faces, norms/maxima are psum/pmax, and the multigrid V-cycle is
+the sharded production tier of fpr_tpu.solvers.dist_mg_ds.
+
+Scope: explicit timestepping (beta = 0 — 1 MG solve/step).  The
+semi-implicit path's apply_bcs solves remain single-chip.
+
+Numerics: per-cell arithmetic is IDENTICAL to the single-device fast path
+(same kernels, traced row offsets); only the reduction order differs
+(per-shard partials + psum/pmax), so the adaptive dt can differ in the
+last ulp and trajectories drift apart at the f32 rounding level over many
+steps — the parity test pins a short window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fpr_tpu.core.config import NSConfig
+from fpr_tpu.ops.pallas2d import PAD, padded_cols, padded_rows
+from fpr_tpu.solvers.dist_mg_ds import ShardPlan, _refresh, _vcycle_dist, plan_shards
+
+
+def _solve_s_sharded(S_ds, w_rp, tolf, plan: ShardPlan, h, cfg, axis, off0,
+                     niters, tol, inner_cycles=1):
+    """Warm-started sharded ds solve of lap S = W with in-kernel velocity
+    maxima (the distributed mg_solve_ds_rp of the NS fast step).
+
+    Returns (S_ds', max_vx, max_vy) with the maxima pmax'd (describing the
+    returned iterate, as the adaptive dt needs)."""
+    from fpr_tpu.ops import ds as dsm
+
+    ny, nx = plan.ny, plan.nx
+    ny_l, br0 = plan.ny_l, plan.brs[0]
+    kw = dict(row_off=off0, ny_mask=ny, raw_sumsq=True, velocity_max=True)
+
+    zero_e = jnp.zeros_like(w_rp)
+    S_ds = _refresh(S_ds, ny_l, axis)
+    S_ds, r32, sumsq, ex = dsm.defect_pass(
+        S_ds, w_rp[None], zero_e, 0.0, ny_l, nx, br0, h, 0.0, **kw
+    )
+    r_rms = jnp.sqrt(lax.psum(sumsq, axis) / (nx * ny))
+    ax = lax.pmax(ex[0], axis)
+    ay = lax.pmax(ex[1], axis)
+
+    def cond(carry):
+        _, _, r_rms, _, _, it = carry
+        return jnp.logical_and(it < niters, r_rms >= tolf)
+
+    def body(carry):
+        S_ds, r32, _, _, _, it = carry
+        e = zero_e
+        for cyc in range(inner_cycles):
+            e = _vcycle_dist(
+                e, r32, plan, h, 0.0, tol, cfg, axis, off0,
+                assume_zero_u=(cyc == 0),
+            )
+        S_ds = _refresh(S_ds, ny_l, axis)
+        e = _refresh(e, ny_l, axis)
+        S_ds, r32, sumsq, ex = dsm.defect_pass(
+            S_ds, w_rp[None], e, 1.0, ny_l, nx, br0, h, 0.0, **kw
+        )
+        r_rms = jnp.sqrt(lax.psum(sumsq, axis) / (nx * ny))
+        ax = lax.pmax(ex[0], axis)
+        ay = lax.pmax(ex[1], axis)
+        return S_ds, r32, r_rms, ax, ay, it + 1
+
+    S_ds, _, _, ax, ay, _ = lax.while_loop(
+        cond, body, (S_ds, r32, r_rms, ax, ay, jnp.asarray(0, jnp.int32))
+    )
+    return S_ds, ax, ay
+
+
+@functools.lru_cache(maxsize=16)
+def _build_ns_loop(plan: ShardPlan, mesh, axis, cfg: NSConfig):
+    """Jitted sharded chunk loop: runs fused NS steps while sim_time < ttot
+    and step < limit."""
+    from fpr_tpu.ops import ds as dsm
+    from fpr_tpu.ops import pallas_ns
+    from fpr_tpu.ops.ds import f32_pair
+
+    assert cfg.beta == 0.0, "sharded fast path is explicit-only"
+    ny, nx = plan.ny, plan.nx
+    ny_l, br0 = plan.ny_l, plan.brs[0]
+    h = cfg.h
+    f32 = jnp.float32
+    n_cells = float(nx * ny)
+    tt_hi, tt_lo = f32_pair(cfg.ttot)
+
+    def shard_loop(TW, S_ds, w_ss, th, tl, step, limit):
+        TW, S_ds = TW[0], S_ds[0]
+        d = lax.axis_index(axis)
+        off0 = d * ny_l
+
+        def cond(carry):
+            _, _, _, th, tl, step = carry
+            dh, dl = dsm.ds_add(th, tl, jnp.float32(-tt_hi), jnp.float32(-tt_lo))
+            return (dh < 0.0) & (step < limit)
+
+        def body(carry):
+            TW, S_ds, w_ss, th, tl, step = carry
+            tolf = jnp.asarray(cfg.tol, f32) * jnp.sqrt(w_ss / n_cells)
+            S_ds, ax, ay = _solve_s_sharded(
+                S_ds, TW[1], tolf, plan, h, cfg.mg, axis, off0,
+                cfg.niters, cfg.tol,
+            )
+            dt_adv = jnp.asarray(cfg.a_adv, f32) * jnp.minimum(h / ax, h / ay)
+            dt = jnp.minimum(jnp.asarray(cfg.dt_dif, f32), dt_adv)
+            dt = jnp.where((ax == 0.0) & (ay == 0.0),
+                           jnp.asarray(cfg.dt_dif, f32), dt)
+            TW = _refresh(TW, ny_l, axis)
+            S = _refresh(S_ds[0], ny_l, axis)
+            TW, (_, w_local) = pallas_ns.ns_fused_rp(
+                TW, S, dt, ny_l, nx, br0, h, cfg.Pr, cfg.Ra,
+                k=cfg.k, beta=0.0, mode="explicit", with_sumsq=True,
+                row_off=off0, ny_mask=ny,
+            )
+            w_ss = lax.psum(w_local, axis)
+            th, tl = dsm.ds_add(th, tl, dt, jnp.float32(0.0))
+            return TW, S_ds, w_ss, th, tl, step + 1
+
+        TW, S_ds, w_ss, th, tl, step = lax.while_loop(
+            cond, body, (TW, S_ds, w_ss, th, tl, step)
+        )
+        return TW[None], S_ds[None], w_ss, th, tl, step
+
+    sp = P(axis, None, None, None)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(sp, sp, P(), P(), P(), P(), P()),
+        out_specs=(sp, sp, P(), P(), P(), P()),
+    )
+    try:
+        body = shard_map(shard_loop, check_vma=False, **kwargs)
+    except TypeError:
+        body = shard_map(shard_loop, check_rep=False, **kwargs)
+    return jax.jit(body)
+
+
+def simulate_fast_sharded(
+    cfg: NSConfig,
+    mesh: Mesh,
+    axis: str = "y",
+    W0=None,
+    T0=None,
+    max_steps: Optional[int] = None,
+    seed: int = 0,
+    chunk_steps: int = 20_000,
+    replicate_below: int = 257,
+    verbose: bool = False,
+):
+    """``simulate_fast`` over a device mesh (explicit path).
+
+    Same contract as simulate_fast minus snapshots/resume; returns an
+    NSResult with gathered global fields.
+    """
+    from fpr_tpu.models.navier_stokes import NSResult, init_field
+
+    ny, nx = cfg.ny, cfg.nx
+    ndev = mesh.shape[axis]
+    plan = plan_shards(ny, nx, ndev, cfg.mg, replicate_below)
+    ny_l, br0 = plan.ny_l, plan.brs[0]
+    total = padded_rows(ny_l, br0)
+    nxp = padded_cols(nx)
+    f32 = jnp.float32
+
+    key = jax.random.PRNGKey(seed)
+    T = init_field(cfg, cfg.T_init, key=key, dtype=f32) if T0 is None else jnp.asarray(T0, f32)
+    W = init_field(cfg, cfg.W_init, key=key, dtype=f32) if W0 is None else jnp.asarray(W0, f32)
+
+    def shard_pack(a):
+        pad_rows = ndev * ny_l - ny
+        ap = jnp.pad(a, ((0, pad_rows), (0, 0))).reshape(ndev, ny_l, nx)
+        return jnp.pad(ap, ((0, 0), (PAD, total - ny_l - PAD), (0, nxp - nx)))
+
+    sp = NamedSharding(mesh, P(axis, None, None, None))
+    TW = lax.with_sharding_constraint(
+        jnp.stack([shard_pack(T), shard_pack(W)], axis=1), sp
+    )
+    S_ds = lax.with_sharding_constraint(jnp.zeros_like(TW), sp)
+    w_ss = jnp.sum(W * W).astype(f32)
+    th = jnp.asarray(0.0, f32)
+    tl = jnp.asarray(0.0, f32)
+    step = jnp.asarray(0, jnp.int32)
+    hard_cap = jnp.asarray(
+        max_steps if max_steps is not None else 1_000_000, jnp.int32
+    )
+
+    loop = _build_ns_loop(plan, mesh, axis, cfg)
+
+    # warmup chunk (timing parity with simulate_fast)
+    warm = jnp.minimum(jnp.asarray(3, jnp.int32), hard_cap)
+    TW, S_ds, w_ss, th, tl, step = loop(TW, S_ds, w_ss, th, tl, step, warm)
+    float(th)
+    tic = time.time()
+    while True:
+        limit = jnp.minimum(step + jnp.asarray(chunk_steps, jnp.int32), hard_cap)
+        TW, S_ds, w_ss, th, tl, step = loop(TW, S_ds, w_ss, th, tl, step, limit)
+        sim_time = float(th) + float(tl)
+        if sim_time >= cfg.ttot or int(step) >= int(hard_cap):
+            break
+        if int(step) < int(limit):
+            break
+        if verbose:
+            print(f"time, steps: {sim_time} {int(step)}")
+    t_elapsed = time.time() - tic
+    steps = int(step)
+
+    def gather(stack, plane):
+        blocks = stack[:, plane, PAD : PAD + ny_l, :nx]
+        return np.asarray(blocks, np.float64).reshape(ndev * ny_l, nx)[:ny]
+
+    S = gather(S_ds, 0) + gather(S_ds, 1)
+    return NSResult(
+        T=gather(TW, 0), W=gather(TW, 1), S=S,
+        t_elapsed=t_elapsed,
+        timed_iters=max(steps - 3, 0),
+        steps=steps,
+        sim_time=float(th) + float(tl),
+        snapshots=None,
+    )

@@ -61,7 +61,8 @@ def _ns_kernel(
 ):
     """One grid step on a BR-row block (halo-1 window of E rows).
 
-    scal_ref (SMEM, (3,1)): [dt, cT, cW] runtime scalars.
+    scal_ref (SMEM, (4,1)): [dt, cT, cW, row_off] runtime scalars
+    (row_off = the shard's global row offset, 0 single-device).
     tw_hbm: (2, total, nxp) stacked T (plane 0) / W (plane 1).
     s_hbm:  (total, nxp) streamfunction.
     out_hbm: (2, total, nxp) stacked outputs (T'/W' or T_rhs/W_rhs).
@@ -115,8 +116,9 @@ def _ns_kernel(
     S = sslabs[slot, :, :]
     dtype = T.dtype
     dt = scal_ref[0, 0]
+    off = scal_ref[3, 0].astype(jnp.int32)
 
-    gy = i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    gy = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
 
     def sh_up(v):  # value at row-1 (toward gy=0)
@@ -227,7 +229,8 @@ def _ns_kernel(
 
 
 @functools.lru_cache(maxsize=128)
-def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret):
+def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret,
+              ny_mask=None):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, layout_br)
     nxp = padded_cols(nx)
@@ -240,7 +243,7 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
     assert n_blocks * BR == total - 2 * PAD, (total, layout_br, BR)
     kernel = functools.partial(
         _ns_kernel,
-        BR=BR, ny=ny, nx=nx, nxp=nxp,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
         h=h, Pr=Pr, Ra=Ra, k=k, beta=beta, mode=mode,
     )
     word = dtype.itemsize
@@ -248,7 +251,7 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((3, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
         ],
@@ -283,7 +286,8 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
 
 
 def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
-                mode="explicit", cT=None, cW=None, with_sumsq=False):
+                mode="explicit", cT=None, cW=None, with_sumsq=False,
+                row_off=0, ny_mask=None):
     """Fused NS operator pass on row-padded operands.
 
     tw_rp: (2, total, nxp) stacked T/W; s_rp: (total, nxp) streamfunction.
@@ -297,14 +301,15 @@ def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
     call = _build_ns(
         ny, nx, jnp.dtype(dtype).name, br,
         float(h), float(Pr), float(Ra), float(k), float(beta), mode,
-        not _on_tpu(),
+        not _on_tpu(), ny_mask=ny_mask,
     )
     z = jnp.asarray(0.0, dtype)
     scal = jnp.stack([
         jnp.asarray(dt, dtype),
         z if cT is None else jnp.asarray(cT, dtype),
         z if cW is None else jnp.asarray(cW, dtype),
-    ]).reshape(3, 1)
+        jnp.asarray(row_off, dtype),
+    ]).reshape(4, 1)
     out, acc = call(scal, tw_rp, s_rp)
     if with_sumsq:
         return out, (acc[0, 0], acc[1, 0])

@@ -99,3 +99,30 @@ def test_sharded_solver_rejects_small_grids():
     b = jnp.zeros((129, 129), jnp.float32)
     with pytest.raises(ValueError, match="too small"):
         dist_mg_ds.mg_solve_ds_sharded(b, 1 / 128.0, 0.0, 1e-6, 20, mesh)
+
+
+def test_simulate_fast_sharded_matches_single(rng):
+    """The sharded explicit NS fast path vs single-device simulate_fast:
+    same step count, fields agreeing to f32 reduction-order noise over a
+    short window (per-cell arithmetic is identical; dt reductions are
+    psum/pmax'd)."""
+    import jax.numpy as jnp
+
+    from fpr_tpu.core.config import NSConfig
+    from fpr_tpu.models import dist_ns
+    from fpr_tpu.models.navier_stokes import simulate_fast
+
+    cfg = NSConfig(nx=129, ny=65, ttot=1e-3, beta=0.0, Pr=0.01,
+                   tol=1e-7, niters=50)
+    W0 = rng.standard_normal((65, 129)) * 10.0
+    mesh = make_mesh((8,), ("y",))
+    ref = simulate_fast(cfg, W0=W0, max_steps=6)
+    got = dist_ns.simulate_fast_sharded(
+        cfg, mesh, W0=W0, max_steps=6, replicate_below=33
+    )
+    assert got.steps == ref.steps
+    assert abs(got.sim_time - ref.sim_time) < 1e-6
+    scale = np.abs(ref.W).max()
+    assert np.abs(got.W - ref.W).max() / scale < 1e-4
+    assert np.abs(got.T - ref.T).max() < 1e-4
+    assert np.abs(got.S - ref.S).max() / max(np.abs(ref.S).max(), 1e-30) < 1e-3
