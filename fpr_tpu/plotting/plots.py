@@ -148,6 +148,35 @@ def plot_mg_bench(results: Path, figs: Path):
     plt.close(fig)
 
 
+def plot_mg_workprecision(results: Path, figs: Path):
+    """MG-as-solver vs unpreconditioned CG vs MG-preconditioned CG (the
+    BASELINE north-star composition), one curve per solver tier.  Solid:
+    wall time; where the amortized device time was measured (ds rows) a
+    dashed companion shows it (the dev tunnel's per-call RPC floors small
+    grids at a constant otherwise)."""
+    path = results / "mg_workprecision.csv"
+    if not path.exists():
+        return
+    rows = _read(path)
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    for solver in sorted({r["solver"] for r in rows}):
+        sel = sorted(
+            [r for r in rows if r["solver"] == solver], key=lambda r: int(r["k"])
+        )
+        n = [(2 ** int(r["k"]) + 1) ** 2 for r in sel]
+        ax.loglog(n, [float(r["seconds"]) for r in sel], "o-", label=solver)
+        dev = [(x, float(r["device_s"])) for x, r in zip(n, sel)
+               if r.get("device_s", "")]
+        if dev:
+            ax.loglog(*zip(*dev), "s--", alpha=0.6,
+                      label=f"{solver} (device)")
+    ax.set(xlabel="unknowns", ylabel="time to tol=1e-6 [s]")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(figs / "mg_workprecision.png", dpi=150)
+    plt.close(fig)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default="benchmark-results")
@@ -160,6 +189,7 @@ def main():
     plot_work_precision(results, figs)
     plot_timestepping(results, figs)
     plot_mg_bench(results, figs)
+    plot_mg_workprecision(results, figs)
     print(f"figures written to {figs}/")
 
 

@@ -289,7 +289,7 @@ def mg_solve_ds_sharded(
     mesh: Mesh,
     axis: str = "y",
     cfg: MGConfig = MGConfig(),
-    inner_cycles: int = 2,
+    inner_cycles: int | None = None,
     replicate_below: int = 1025,
     gather_result: bool = True,
 ):
@@ -308,6 +308,9 @@ def mg_solve_ds_sharded(
     if f.dtype != jnp.float32:
         raise ValueError("sharded ds solver takes an exactly-f32 rhs")
     ny, nx = f.shape
+    if inner_cycles is None:
+        from fpr_tpu.solvers.multigrid import _auto_inner_cycles
+        inner_cycles = _auto_inner_cycles(ny, nx)
     ndev = mesh.shape[axis]
     plan = plan_shards(ny, nx, ndev, cfg, replicate_below)
     solve = _build_sharded(

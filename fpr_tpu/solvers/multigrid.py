@@ -446,6 +446,17 @@ def mg_solve_mixed_jit(
 # ---------------------------------------------------------------------------
 
 
+def _auto_inner_cycles(ny: int, nx: int) -> int:
+    """V-cycles per defect-correction outer iteration (static, trace-time).
+
+    Measured on v5e (DST-513 ladder, tol 1e-6): at k<=12 two inner cycles
+    win (51 vs 54 ms at 4097^2 — fewer outer defect passes), at k>=13 one
+    cycle wins (172 vs 192 ms at 8193^2, 713 vs 820 ms at 16385^2): the
+    fine-grid legs dominate, and a second cycle per outer buys too little
+    contraction for its extra fine-level traffic."""
+    return 1 if max(ny, nx) >= 8193 else 2
+
+
 def mg_solve_ds_rp(
     u_ds,
     f_ds,
@@ -456,7 +467,7 @@ def mg_solve_ds_rp(
     c,
     niters: int,
     cfg: MGConfig = MGConfig(),
-    inner_cycles: int = 2,
+    inner_cycles: int | None = None,
     apply_bcs: bool = False,
     r0=None,
     tol: float = 1e-7,
@@ -490,6 +501,8 @@ def mg_solve_ds_rp(
     from fpr_tpu.ops import ds as dsm
     from fpr_tpu.ops import pallas2d
 
+    if inner_cycles is None:
+        inner_cycles = _auto_inner_cycles(ny, nx)
     br = pallas2d._pick_br(ny, nx, 4)
     total = pallas2d.padded_rows(ny, br)
     nxp = pallas2d.padded_cols(nx)
@@ -563,7 +576,7 @@ def mg_solve_ds(
     tol: float,
     niters: int,
     cfg: MGConfig = MGConfig(),
-    inner_cycles: int = 2,
+    inner_cycles: int | None = None,
     return_pair: bool = False,
     apply_bcs: bool = False,
 ):
@@ -633,7 +646,7 @@ def mg_solve_ds(
     static_argnames=("h", "tol", "niters", "cfg", "inner_cycles", "return_pair"),
 )
 def mg_solve_ds_jit(
-    f, h, c, tol, niters, cfg=MGConfig(), inner_cycles=2, return_pair=False
+    f, h, c, tol, niters, cfg=MGConfig(), inner_cycles=None, return_pair=False
 ):
     """Jitted zero-initial-guess mg_solve_ds (the benchmark entry point)."""
     return mg_solve_ds(
