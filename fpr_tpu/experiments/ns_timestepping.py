@@ -27,6 +27,10 @@ def main():
         "while_loop, double-single MG solves — the TPU production path)",
     )
     ap.add_argument("--Pr", type=float, default=None, help="single-Pr run")
+    ap.add_argument("--reps", type=int, default=None,
+                    help="timed repetitions (median + iqr recorded). "
+                    "Default: 3 for the jit-cached fast tier, 1 for the "
+                    "host-loop tiers (a single mixed row runs 4+ min)")
     args = ap.parse_args()
 
     import jax
@@ -60,18 +64,29 @@ def main():
                 nx=nx, ny=ny, Pr=Pr, beta=beta, ttot=args.ttot, tol=args.tol,
                 niters=50, mg_solver=args.solver,
             )
+            reps = args.reps if args.reps else (3 if args.solver == "fast" else 1)
             try:
-                if args.solver == "fast":
-                    out = ns.simulate_fast(cfg, max_steps=args.max_steps)
-                else:
-                    out = ns.simulate(cfg, dtype=dtype, max_steps=args.max_steps)
+                outs = []
+                for _ in range(max(1, reps)):  # first rep pays the compile
+                    if args.solver == "fast":
+                        outs.append(ns.simulate_fast(cfg, max_steps=args.max_steps))
+                    else:
+                        outs.append(ns.simulate(cfg, dtype=dtype,
+                                                max_steps=args.max_steps))
             except Exception as exc:
                 print(f"Pr={Pr} beta={beta}: FAILED {type(exc).__name__}: {exc}")
                 continue
+            import numpy as np
+
+            ts = sorted(o.t_elapsed for o in outs)
+            out = outs[-1]
             row = dict(
                 Pr=Pr, beta=beta, nx=nx, ny=ny, backend=backend,
                 solver=args.solver, steps=out.steps,
-                timed_steps=out.timed_iters, seconds=round(out.t_elapsed, 3),
+                timed_steps=out.timed_iters,
+                seconds=round(float(np.median(ts)), 3),
+                iqr_s=round(float(np.subtract(*np.percentile(ts, [75, 25]))), 4),
+                reps=len(ts),
             )
             append_csv_row(
                 args.out, row, key_fields=("Pr", "beta", "nx", "backend", "solver")

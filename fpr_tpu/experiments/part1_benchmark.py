@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-e", type=float, default=7.0)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions per config (median + iqr "
+                    "recorded; jit-cached after the first)")
     args = ap.parse_args()
 
     import jax
@@ -53,17 +56,26 @@ def main():
                 print(f"skip (cached): {key}")
                 continue
             try:
-                out = diffusion3d.solve(cfg, dtype=jnp.float32)
+                # median of reps (BenchmarkTools-median analog): the first
+                # call pays the compile, later calls reuse the jit cache
+                outs = [diffusion3d.solve(cfg, dtype=jnp.float32)
+                        for _ in range(max(1, args.reps))]
             except Exception as exc:  # keep sweeping (multigrid_bench.jl:41-62)
                 print(f"n={n} policy={policy.value}: FAILED {exc}")
                 continue
+            ts = sorted(o.bench.delta_t for o in outs)
+            med = float(np.median(ts))
+            out = min(outs, key=lambda o: abs(o.bench.delta_t - med))
+            scale = out.bench.delta_t / med  # rescale rates to the median
             row = {
                 **key,
                 "iters": out.timed_iters,
-                "seconds": round(out.bench.delta_t, 4),
-                "throughput_gbs": round(out.bench.throughput / 1e9, 2),
-                "performance_gflops": round(out.bench.performance / 1e9, 2),
+                "seconds": round(med, 4),
+                "throughput_gbs": round(out.bench.throughput * scale / 1e9, 2),
+                "performance_gflops": round(out.bench.performance * scale / 1e9, 2),
                 "intensity": round(out.bench.intensity, 4),
+                "iqr_s": round(float(np.subtract(*np.percentile(ts, [75, 25]))), 5),
+                "reps": len(ts),
             }
             written = append_csv_row(args.out, row, key_fields=("n", "policy", "backend"))
             print(("wrote " if written else "skipped ") + str(row))
