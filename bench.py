@@ -230,6 +230,60 @@ def check_aliased_kernels():
             f"ALIASED-KERNEL RACE: stacked != padded at {bad} cells "
             f"(max |diff| {np.abs(a - b).max():.3e})"
         )
+
+    # 2D stacked-aliased V-cycle legs vs the separate-stream kernels
+    # (multi-block; the aliased u write overlaps the next block's slab
+    # read by PAD rows, so only this real-DMA run can catch a race)
+    from fpr_tpu.ops import pallas2d
+
+    ny, nx, br = 1025, 513, 128
+    h, c = 1.0 / (ny - 1), 0.3
+    total = pallas2d.padded_rows(ny, br)
+    nxp = pallas2d.padded_cols(nx)
+    P = pallas2d.PAD
+    f_rp = pallas2d.pad2d(
+        jax.random.uniform(jax.random.PRNGKey(9), (ny, nx), jnp.float32), br
+    )
+    nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
+    coarse = jax.random.uniform(jax.random.PRNGKey(10), (nyc, nxc), jnp.float32)
+
+    @jax.jit
+    def legs_old(f_rp):
+        zero = jnp.zeros((total, nxp), jnp.float32)
+        u1, _ = pallas2d.smooth2r_split_rp(zero, f_rp, ny, nx, br, h, c, zero_u=True)
+        u2, r2 = pallas2d.smooth2r_split_rp(u1, f_rp, ny, nx, br, h, c)
+        u3, n3 = pallas2d.corr_smooth2_rp(
+            u2, f_rp, coarse, ny, nx, br, h, c, with_norm=True)
+        return u3, r2, n3
+
+    @jax.jit
+    def legs_stk(f_rp):
+        L = jnp.zeros((3, total, nxp), jnp.float32).at[1].set(f_rp)
+        L = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, zero_u=True)
+        L = pallas2d.smooth2r_stk(L, ny, nx, br, h, c)
+        r2 = L[2]
+        corrx = pallas2d.x_interleave_coarse(coarse)
+        rows_needed = pallas2d.corr_rows_needed(ny, br)
+        corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)
+        corrx_rp = corrx_rp.at[P : P + corrx.shape[0], :nx].set(corrx)
+        L, n3 = pallas2d.corr_smooth2_stk(
+            L, corrx_rp, ny, nx, br, h, c, with_norm=True)
+        return L[0], r2, n3
+
+    uo, ro, no = legs_old(f_rp)
+    us, rs, ns_ = legs_stk(f_rp)
+    W = slice(P, total - P)
+    for name, x, y in [
+        ("u", np.asarray(uo)[W], np.asarray(us)[W]),
+        ("res", np.asarray(ro)[W], np.asarray(rs)[W]),
+    ]:
+        if not np.array_equal(x, y):
+            raise AssertionError(
+                f"ALIASED-KERNEL RACE (2D stk, {name}): "
+                f"{int((x != y).sum())} cells differ"
+            )
+    if float(no) != float(ns_):
+        raise AssertionError("ALIASED-KERNEL RACE (2D stk): norm mismatch")
     return True
 
 

@@ -853,3 +853,429 @@ def matvec(x, hx, hy, c):
     br = _br_for(x)
     out, _ = _call("matvec", pad2d(x, br), None, ny, nx, br, hx, c)
     return unpad2d(out, ny, nx)
+
+
+# ---------------------------------------------------------------------------
+# stacked-aliased V-cycle legs (the round-3 fast path)
+#
+# Level state L = (3, total, nxp) f32: plane 0 = u, plane 1 = f (rhs),
+# plane 2 = the parity-split residual.  Both legs take L and return the
+# SAME buffer via input_output_aliases: u/f travel in ONE two-chunk DMA per
+# block, f persists untouched (aliasing, zero traffic), and the u write
+# lands on the buffer just read.  Measured motivation (leg_probe, v5e):
+# with >=4 concurrent DMA streams the engine falls off ~600 -> ~400 GB/s;
+# the stacked layout keeps every leg at 3 streams.
+#
+# Aliasing creates a real RAW hazard: block i's u write overlaps block
+# i+1's slab read by PAD rows.  Discipline (as in pallas3d's stacked
+# kernel): input i+1 is awaited BEFORE output i starts, with S=3 input
+# slots so that wait lands a full grid step after the DMA was issued
+# (probe-verified: the race-close is then free).  interpret mode neither
+# honors aliasing nor models DMA timing — wrappers reconstruct plane 1 and
+# tests must include a real-TPU bitwise check (CLAUDE.md round-3 notes).
+# ---------------------------------------------------------------------------
+
+
+def _smooth2r_stk_kernel(
+    c_ref, L_hbm, out_hbm,
+    slabs, results, sem_in, sem_ou, sem_or,
+    *, BR, ny, nx, nxp, h, alpha, zero_u, S,
+):
+    """Stacked-aliased downward leg: two damped-Jacobi sweeps + residual
+    (parity-split) in one HBM pass over the (3, total, nxp) level state.
+
+    Bitwise-identical arithmetic to _smooth2r_kernel(split_res=True).
+    zero_u: skip the u chunk entirely (slab carries f only, no RAW race).
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    islot = jax.lax.rem(i, jnp.asarray(S, i.dtype))
+    oslot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    noslot = 1 - oslot
+    E = BR + 2 * PAD
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def cin(b):
+        b = _i32(b)
+        s = jax.lax.rem(b, jnp.asarray(S, jnp.int32))
+        if zero_u:
+            src = L_hbm.at[pl.ds(_i32(1), 1), pl.ds(b * BR, E), :]
+        else:
+            src = L_hbm.at[pl.ds(_i32(0), 2), pl.ds(b * BR, E), :]
+        return pltpu.make_async_copy(src, slabs.at[s], sem_in.at[s])
+
+    def cout_u(b, s):
+        b, s = _i32(b), _i32(s)
+        return pltpu.make_async_copy(
+            results.at[s, _i32(0)], out_hbm.at[_i32(0), pl.ds(b * BR + PAD, BR), :],
+            sem_ou.at[s],
+        )
+
+    def cout_r(b, s):
+        b, s = _i32(b), _i32(s)
+        return pltpu.make_async_copy(
+            results.at[s, _i32(1)], out_hbm.at[_i32(2), pl.ds(b * BR + PAD, BR), :],
+            sem_or.at[s],
+        )
+
+    if zero_u:
+        # no RAW hazard (reads plane 1, writes planes 0/2): classic
+        # double-buffered schedule
+        @pl.when(i == 0)
+        def _():
+            cin(0).start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            cin(i + 1).start()
+
+        cin(i).wait()
+    else:
+        # race-close schedule: input i+1 awaited before output i starts,
+        # issued S-1 steps ahead so the wait is free
+        @pl.when(i == 0)
+        def _():
+            cin(0).start()
+            cin(0).wait()
+            for k in range(1, S):
+                @pl.when(n_blocks > k)
+                def _(k=k):
+                    cin(k).start()
+
+        @pl.when(jnp.logical_and(i > 0, i + S - 1 < n_blocks))
+        def _():
+            cin(i + S - 1).start()
+
+    F = slabs[islot, 0, :, :] if zero_u else slabs[islot, 1, :, :]
+    dtype = F.dtype
+    c = c_ref[0, 0]
+    off = c_ref[1, 0].astype(jnp.int32)
+    C = jnp.asarray(4.0, dtype) + c * jnp.asarray(h * h, dtype)
+    _h2 = jnp.asarray(1.0 / (h * h), dtype)
+    w = jnp.asarray(alpha, dtype) * (jnp.asarray(h * h, dtype) / C)
+
+    gy = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+    interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
+
+    def res_of(V):
+        vm = jnp.concatenate([V[:1, :], V[:-1, :]], axis=0)
+        vp = jnp.concatenate([V[1:, :], V[-1:, :]], axis=0)
+        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        return jnp.where(
+            interior, (vm + vp + vl + vr - C * V) * _h2 - F, jnp.asarray(0.0, dtype)
+        )
+
+    if zero_u:
+        res1 = jnp.where(interior, -F, jnp.asarray(0.0, dtype))
+        u1 = w * res1
+    else:
+        U = slabs[islot, 0, :, :]
+        u1 = U + w * res_of(U)
+    u2 = u1 + w * res_of(u1)
+    res = res_of(u2)
+
+    # free the results slot BEFORE writing it: cout(i-2) reads the same
+    # slot and Mosaic does not order vector stores against in-flight DMAs
+    @pl.when(i >= 2)
+    def _():
+        cout_u(i - 2, oslot).wait()
+        cout_r(i - 2, oslot).wait()
+
+    results[oslot, _i32(0), :, :] = u2[PAD : PAD + BR, :]
+    res_blk = res[PAD : PAD + BR, :]
+    pair = res_blk.reshape(BR // 2, 2, nxp)
+    results[oslot, _i32(1), : BR // 2, :] = pair[:, 0, :]
+    results[oslot, _i32(1), BR // 2 :, :] = pair[:, 1, :]
+
+    if not zero_u:
+        # race-close: next block's slab fully on-chip before we overwrite
+        # the overlapping PAD rows of plane 0
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            cin(i + 1).wait()
+
+    cout_u(i, oslot).start()
+    cout_r(i, oslot).start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            cout_u(i - 1, noslot).wait()
+            cout_r(i - 1, noslot).wait()
+
+        cout_u(i, oslot).wait()
+        cout_r(i, oslot).wait()
+
+
+@functools.lru_cache(maxsize=256)
+def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
+                   ny_mask=None):
+    dtype = jnp.dtype(dtype_name)
+    total = padded_rows(ny, BR)
+    nxp = padded_cols(nx)
+    n_blocks = (total - 2 * PAD) // BR
+    S = 2 if (zero_u or nxp >= 8320) else 3
+    kernel = functools.partial(
+        _smooth2r_stk_kernel,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
+        h=h, alpha=alpha, zero_u=zero_u, S=S,
+    )
+    chunks = 1 if zero_u else 2
+    scratch = dtype.itemsize * nxp * (
+        S * chunks * (BR + 2 * PAD) + 2 * 2 * BR
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, total, nxp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((S, chunks, BR + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, 2, BR, nxp), dtype),
+            pltpu.SemaphoreType.DMA((S,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=30 * ny * nx,
+            bytes_accessed=4 * dtype.itemsize * ny * nx,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(scratch, nxp),
+        ),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )
+
+
+def smooth2r_stk(L, ny, nx, br, h, c, alpha=0.8, zero_u=False, row_off=0,
+                 ny_mask=None):
+    """Stacked-aliased downward leg on the (3, total, nxp) level state.
+
+    Returns L' (the same donated buffer on TPU): plane 0 = u after two
+    smooths, plane 1 = f unchanged, plane 2 = parity-split residual
+    (feeds transfer.restrict_ps).  Semantically identical to
+    smooth2r_split_rp on (L[0], L[1])."""
+    call = _build_s2r_stk(
+        ny, nx, jnp.dtype(L.dtype).name, br, float(h), float(alpha),
+        not _on_tpu(), zero_u=zero_u, ny_mask=ny_mask,
+    )
+    out = call(_scal2(c, row_off, L.dtype), L)
+    if not _on_tpu():
+        # interpret mode does not honor aliasing: reconstruct plane 1
+        out = out.at[1].set(L[1])
+    return out
+
+
+def _corr_smooth2_stk_kernel(
+    c_ref, L_hbm, corr_hbm, out_hbm, acc_ref,
+    slabs, cbufs, results, sem_in, sem_c, sem_out,
+    *, BR, ny, nx, nxp, h, alpha, with_norm, S,
+):
+    """Stacked-aliased upward leg: y-interpolate the (x-pre-interleaved)
+    coarse correction, subtract, two post-smooths — writing u back over
+    plane 0 of the aliased level state.  Bitwise-identical arithmetic to
+    _corr_smooth2_kernel."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    islot = jax.lax.rem(i, jnp.asarray(S, i.dtype))
+    oslot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+    noslot = 1 - oslot
+    E = BR + 2 * PAD
+    CW = BR // 2 + 2 * PAD
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def cin(b):
+        b = _i32(b)
+        s = jax.lax.rem(b, jnp.asarray(S, jnp.int32))
+        return pltpu.make_async_copy(
+            L_hbm.at[pl.ds(_i32(0), 2), pl.ds(b * BR, E), :], slabs.at[s], sem_in.at[s]
+        )
+
+    def cin_c(b):
+        b = _i32(b)
+        s = jax.lax.rem(b, jnp.asarray(S, jnp.int32))
+        return pltpu.make_async_copy(
+            corr_hbm.at[pl.ds(b * (BR // 2), CW), :], cbufs.at[s], sem_c.at[s]
+        )
+
+    def cout(b, s):
+        b, s = _i32(b), _i32(s)
+        return pltpu.make_async_copy(
+            results.at[s], out_hbm.at[_i32(0), pl.ds(b * BR + PAD, BR), :], sem_out.at[s]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        cin(0).start()
+        cin_c(0).start()
+        cin(0).wait()
+        cin_c(0).wait()
+        for k in range(1, S):
+            @pl.when(n_blocks > k)
+            def _(k=k):
+                cin(k).start()
+                cin_c(k).start()
+
+    @pl.when(jnp.logical_and(i > 0, i + S - 1 < n_blocks))
+    def _():
+        cin(i + S - 1).start()
+        cin_c(i + S - 1).start()
+
+    U = slabs[islot, 0, :, :]
+    F = slabs[islot, 1, :, :]
+    CB = cbufs[islot, :, :]
+    dtype = U.dtype
+    c = c_ref[0, 0]
+    off = c_ref[1, 0].astype(jnp.int32)
+    C4 = jnp.asarray(4.0, dtype) + c * jnp.asarray(h * h, dtype)
+    _h2 = jnp.asarray(1.0 / (h * h), dtype)
+    w = jnp.asarray(alpha, dtype) * (jnp.asarray(h * h, dtype) / C4)
+
+    half = PAD // 2
+    rowpair = CB[half : half + E // 2, :]
+    cb_dn = CB[half + 1 : half + 1 + E // 2, :]
+    rowmid = (rowpair + cb_dn) * 0.5
+    rp2 = jnp.broadcast_to(rowpair[:, None, :], (E // 2, 2, nxp)).reshape(E, nxp)
+    rm2 = jnp.broadcast_to(rowmid[:, None, :], (E // 2, 2, nxp)).reshape(E, nxp)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    even = jax.lax.rem(prow, jnp.asarray(2, jnp.int32)) == 0
+    P = jnp.where(even, rp2, rm2)
+    U = U - P
+
+    gy = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+    interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
+
+    def res_of(V):
+        vm = jnp.concatenate([V[:1, :], V[:-1, :]], axis=0)
+        vp = jnp.concatenate([V[1:, :], V[-1:, :]], axis=0)
+        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        return jnp.where(
+            interior, (vm + vp + vl + vr - C4 * V) * _h2 - F, jnp.asarray(0.0, dtype)
+        )
+
+    u1 = U + w * res_of(U)
+    res2 = res_of(u1)
+    u2 = u1 + w * res2
+
+    # free the results slot BEFORE writing it: cout(i-2) reads the same
+    # slot and Mosaic does not order vector stores against in-flight DMAs
+    @pl.when(i >= 2)
+    def _():
+        cout(i - 2, oslot).wait()
+
+    results[oslot, :, :] = u2[PAD : PAD + BR, :]
+
+    if with_norm:
+        @pl.when(i == 0)
+        def _():
+            acc_ref[0, 0] = jnp.asarray(0.0, dtype)
+
+        acc_ref[0, 0] += jnp.sum(
+            res2[PAD : PAD + BR, :] * res2[PAD : PAD + BR, :]
+        )
+
+    # race-close: block i+1's slab (overlapping PAD rows of plane 0) must
+    # be on-chip before this block's u write starts
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        cin(i + 1).wait()
+        cin_c(i + 1).wait()
+
+    cout(i, oslot).start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        @pl.when(n_blocks >= 2)
+        def _():
+            cout(i - 1, noslot).wait()
+
+        cout(i, oslot).wait()
+
+
+@functools.lru_cache(maxsize=256)
+def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
+                   interpret, ny_mask=None):
+    dtype = jnp.dtype(dtype_name)
+    total = padded_rows(ny, BR)
+    nxp = padded_cols(nx)
+    n_blocks = (total - 2 * PAD) // BR
+    S = 2 if nxp >= 8320 else 3
+    kernel = functools.partial(
+        _corr_smooth2_stk_kernel,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
+        h=h, alpha=alpha, with_norm=with_norm, S=S,
+    )
+    scratch = dtype.itemsize * nxp * (
+        S * 2 * (BR + 2 * PAD) + S * (BR // 2 + 2 * PAD) + 2 * BR
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, total, nxp), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, 2, BR + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((S, BR // 2 + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, BR, nxp), dtype),
+            pltpu.SemaphoreType.DMA((S,)),
+            pltpu.SemaphoreType.DMA((S,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=25 * ny * nx,
+            bytes_accessed=int(4.5 * dtype.itemsize) * ny * nx,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(scratch, nxp),
+        ),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )
+
+
+def corr_smooth2_stk(L, corrx_rp, ny, nx, br, h, c, alpha=0.8,
+                     with_norm=False, row_off=0, ny_mask=None):
+    """Stacked-aliased upward leg on a PREBUILT x-interleaved correction
+    buffer (see corr_smooth2_raw for its layout).  Returns (L', r_rms or
+    None) with plane 0 = corrected+smoothed u, planes 1/2 unchanged."""
+    assert br % 16 == 0, br
+    call = _build_cs2_stk(
+        ny, nx, jnp.dtype(L.dtype).name, br,
+        float(h), float(alpha), bool(with_norm), corrx_rp.shape[0],
+        not _on_tpu(), ny_mask=ny_mask,
+    )
+    out, acc = call(_scal2(c, row_off, L.dtype), L, corrx_rp)
+    if not _on_tpu():
+        out = out.at[1].set(L[1]).at[2].set(L[2])
+    if not with_norm:
+        return out, None
+    return out, jnp.sqrt(acc[0, 0] / (nx * (ny_mask or ny)))

@@ -310,6 +310,71 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     return u_rp, r_rms
 
 
+def _stk_eligible(cfg: MGConfig) -> bool:
+    """The stacked-aliased V-cycle implements the fused-leg configuration
+    only (Jacobi, 2+2 smooths, injection restriction)."""
+    return (
+        cfg.smoother is Smoother.JACOBI
+        and cfg.pre_smooth == 2
+        and cfg.post_smooth == 2
+        and cfg.resolved_restriction() is not Restriction.FULL_WEIGHTING
+    )
+
+
+def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
+               assume_zero_u=False):
+    """One V-cycle on the stacked level state L = (3, total, nxp)
+    [u | f | res_ps], with BOTH fused legs aliased onto L (u and f travel
+    in one two-chunk DMA; f persists with zero traffic).  Semantically
+    identical to ``vcycle_rp`` on (L[0], L[1]); requires _stk_eligible(cfg).
+
+    Returns (L', r_rms): plane 0 the corrected iterate, plane 1 untouched.
+    """
+    from fpr_tpu.ops import pallas2d, transfer
+
+    if ny * nx < PALLAS_MIN_AREA or min(ny, nx) <= cfg.coarse_size:
+        import dataclasses
+
+        u = pallas2d.unpad2d(L[0], ny, nx)
+        f = pallas2d.unpad2d(L[1], ny, nx)
+        sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
+        u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs)
+        br = pallas2d._pick_br(ny, nx, jnp.dtype(L.dtype).itemsize)
+        return L.at[0].set(pallas2d.pad2d(u, br)), r_rms
+
+    br = pallas2d._pick_br(ny, nx, jnp.dtype(L.dtype).itemsize)
+    alpha = cfg.jacobi_damping
+
+    L = pallas2d.smooth2r_stk(
+        L, ny, nx, br, h, c, alpha, zero_u=assume_zero_u
+    )
+    res_c = transfer.restrict_ps(L[2], ny, nx, br, apply_bcs=apply_bcs)
+
+    nyc, nxc = res_c.shape
+    brc = pallas2d._pick_br(nyc, nxc, jnp.dtype(L.dtype).itemsize)
+    Lc = jnp.zeros(
+        (3, pallas2d.padded_rows(nyc, brc), pallas2d.padded_cols(nxc)),
+        L.dtype,
+    )
+    Lc = Lc.at[1, pallas2d.PAD : pallas2d.PAD + nyc, :nxc].set(res_c)
+    Lc, _ = vcycle_stk(
+        Lc, nyc, nxc, h * 2.0, c, tol, cfg, apply_bcs=apply_bcs,
+        assume_zero_u=True,
+    )
+
+    corrx = pallas2d.x_interleave_coarse(
+        pallas2d.unpad2d(Lc[0], nyc, nxc), apply_bcs=apply_bcs
+    )
+    rows_needed = pallas2d.corr_rows_needed(ny, br)
+    nxp = pallas2d.padded_cols(nx)
+    corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)
+    corrx_rp = corrx_rp.at[pallas2d.PAD : pallas2d.PAD + corrx.shape[0], :nx].set(corrx)
+    L, r_rms = pallas2d.corr_smooth2_stk(
+        L, corrx_rp, ny, nx, br, h, c, alpha, with_norm=True
+    )
+    return L, r_rms
+
+
 def mg_solve_rp(u0, f, h, c, tol, niters, apply_bcs=False, cfg=MGConfig()):
     """MGsolve with the row-padded Pallas V-cycle.  Same contract as
     ``mg_solve``; pads once on entry, unpads on exit."""
@@ -543,6 +608,38 @@ def mg_solve_ds_rp(
     def cond(carry):
         _, _, r_rms, _, it = carry
         return jnp.logical_and(it < niters, r_rms >= tolf)
+
+    if _stk_eligible(cfg):
+        # stacked-aliased V-cycle: the level state L = [e | r32 | res_ps]
+        # is the loop carry, donated through both legs each cycle — u/f in
+        # one DMA per block, rhs persists with zero traffic
+        L0 = jnp.zeros((3, total, nxp), jnp.float32).at[1].set(r32)
+
+        def body(carry):
+            u_ds, L, _, _, it = carry
+            for cyc in range(inner_cycles):
+                L, _ = vcycle_stk(
+                    L, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs,
+                    assume_zero_u=(cyc == 0),
+                )
+            out = dsm.defect_pass(u_ds, f_ds, L[0], 1.0, ny, nx, br, h, c, **kw)
+            if extras_on:
+                u_ds, r32_n, r_rms, ex = out
+            else:
+                u_ds, r32_n, r_rms = out
+                ex = ()
+            # barrier: without it XLA fuses the plane-1 update into the
+            # defect custom call (kCustom) and blows the 16 MB scoped-vmem
+            # limit at 4097^2 (measured compile failure)
+            r32_n = jax.lax.optimization_barrier(r32_n)
+            return u_ds, L.at[1].set(r32_n), r_rms, ex, it + 1
+
+        u_ds, _, r_rms, extras, it = jax.lax.while_loop(
+            cond, body, (u_ds, L0, r_rms, extras, jnp.asarray(0, jnp.int32))
+        )
+        if extras_on:
+            return u_ds, r_rms, it, extras
+        return u_ds, r_rms, it
 
     def body(carry):
         u_ds, r32, _, _, it = carry

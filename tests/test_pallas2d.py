@@ -151,3 +151,73 @@ def test_mixed_helmholtz_with_bcs(rng, monkeypatch):
         jnp.zeros((ny, nx)), b, h, c, 1e-8, 40, apply_bcs=True
     )
     np.testing.assert_allclose(np.asarray(u_mix), np.asarray(u_ref), atol=1e-6)
+
+
+def test_stk_legs_match_split_kernels(rng):
+    # the stacked-aliased legs (smooth2r_stk / corr_smooth2_stk) must be
+    # bitwise-identical to the separate-stream kernels on the physical
+    # interior (ghost/pad rows are uninitialized by contract); multi-block
+    from fpr_tpu.ops import transfer
+
+    ny, nx = 257, 129
+    br = 64  # forces 5 blocks
+    h, c = 1.0 / (ny - 1), 0.7
+    total = pallas2d.padded_rows(ny, br)
+    nxp = pallas2d.padded_cols(nx)
+    f_rp = pallas2d.pad2d(jnp.asarray(rng.random((ny, nx))), br)
+    zero = jnp.zeros((total, nxp), f_rp.dtype)
+    P = pallas2d.PAD
+    W = lambda a: np.asarray(a)[P : total - P]
+    I = lambda a: np.asarray(pallas2d.unpad2d(a, ny, nx))
+
+    u1, r1 = pallas2d.smooth2r_split_rp(zero, f_rp, ny, nx, br, h, c, zero_u=True)
+    L = jnp.zeros((3, total, nxp), f_rp.dtype).at[1].set(f_rp)
+    L1 = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, zero_u=True)
+    np.testing.assert_array_equal(I(u1), I(L1[0]))
+    np.testing.assert_array_equal(W(r1), W(L1[2]))
+
+    u2, r2 = pallas2d.smooth2r_split_rp(u1, f_rp, ny, nx, br, h, c)
+    L2 = pallas2d.smooth2r_stk(L1, ny, nx, br, h, c)
+    np.testing.assert_array_equal(I(u2), I(L2[0]))
+    np.testing.assert_array_equal(W(r2), W(L2[2]))
+    np.testing.assert_array_equal(np.asarray(L2[1]), np.asarray(f_rp))
+
+    nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
+    coarse = jnp.asarray(rng.random((nyc, nxc)))
+    u3, n3 = pallas2d.corr_smooth2_rp(
+        u2, f_rp, coarse, ny, nx, br, h, c, with_norm=True
+    )
+    corrx = pallas2d.x_interleave_coarse(coarse)
+    rows_needed = pallas2d.corr_rows_needed(ny, br)
+    corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)
+    corrx_rp = corrx_rp.at[P : P + corrx.shape[0], :nx].set(corrx)
+    L3, n3s = pallas2d.corr_smooth2_stk(
+        L2, corrx_rp, ny, nx, br, h, c, with_norm=True
+    )
+    np.testing.assert_array_equal(I(u3), I(L3[0]))
+    assert float(n3) == float(n3s)
+
+
+def test_vcycle_stk_matches_vcycle_rp(rng, monkeypatch):
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
+    n = 129
+    h = 1.0 / (n - 1)
+    cfg = MGConfig(coarse_size=17)
+    f = jnp.asarray(rng.random((n, n)))
+    br = pallas2d._pick_br(n, n, 8)
+    total = pallas2d.padded_rows(n, br)
+    nxp = pallas2d.padded_cols(n)
+    f_rp = pallas2d.pad2d(f, br)
+    I = lambda a: np.asarray(pallas2d.unpad2d(a, n, n))
+
+    u_rp = jnp.zeros((total, nxp), f.dtype)
+    L = jnp.zeros((3, total, nxp), f.dtype).at[1].set(f_rp)
+    for cyc in range(2):
+        u_rp, r_rp = multigrid.vcycle_rp(
+            u_rp, f_rp, n, n, h, 0.0, 1e-8, cfg, assume_zero_u=(cyc == 0)
+        )
+        L, r_stk = multigrid.vcycle_stk(
+            L, n, n, h, 0.0, 1e-8, cfg, assume_zero_u=(cyc == 0)
+        )
+        np.testing.assert_array_equal(I(u_rp), I(L[0]))
+        assert float(r_rp) == float(r_stk)
