@@ -258,10 +258,9 @@ def check_aliased_kernels():
 
     @jax.jit
     def legs_stk(f_rp):
-        L = jnp.zeros((3, total, nxp), jnp.float32).at[1].set(f_rp)
-        L = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, zero_u=True)
-        L = pallas2d.smooth2r_stk(L, ny, nx, br, h, c)
-        r2 = L[2]
+        L = jnp.zeros((2, total, nxp), jnp.float32).at[1].set(f_rp)
+        L, _ = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, zero_u=True)
+        L, r2 = pallas2d.smooth2r_stk(L, ny, nx, br, h, c)
         corrx = pallas2d.x_interleave_coarse(coarse)
         rows_needed = pallas2d.corr_rows_needed(ny, br)
         corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)

@@ -150,7 +150,7 @@ def _defect_kernel(
     scal_ref, u_hbm, f_hbm, e_hbm, uout_hbm, r32_hbm, acc_ref,
     uslabs, fbufs, ebufs, ures, rres, sem_u, sem_f, sem_e, sem_uo, sem_r,
     *, BR, ny, nx, nxp, inv_h2, c_zero, with_update, apply_bcs, f_single,
-    velocity_max, field_sumsq, inv2h,
+    velocity_max, field_sumsq, inv2h, stk_e=False,
 ):
     """One grid step: ds update + ds residual + norm on a BR-row block.
 
@@ -172,13 +172,16 @@ def _defect_kernel(
     n_blocks = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
     nslot = 1 - slot
+    S = 3 if stk_e else 2  # u slots: race-close needs a step of lead time
+    uslot = jax.lax.rem(i, jnp.asarray(S, i.dtype))
     E = BR + 2 * PAD
 
     def _i32(v):
         return jnp.asarray(v, jnp.int32)
 
-    def copy_u(block, s):
-        block, s = _i32(block), _i32(s)
+    def copy_u(block):
+        block = _i32(block)
+        s = jax.lax.rem(block, jnp.asarray(S, jnp.int32))
         return pltpu.make_async_copy(
             u_hbm.at[:, pl.ds(block * BR, E), :], uslabs.at[s], sem_u.at[s]
         )
@@ -192,9 +195,12 @@ def _defect_kernel(
 
     def copy_e(block, s):
         block, s = _i32(block), _i32(s)
-        return pltpu.make_async_copy(
-            e_hbm.at[pl.ds(block * BR, E), :], ebufs.at[s], sem_e.at[s]
-        )
+        if stk_e:
+            # e = plane 0 of the stacked level state
+            src = e_hbm.at[pl.ds(_i32(0), 1), pl.ds(block * BR, E), :]
+        else:
+            src = e_hbm.at[pl.ds(block * BR, E), :]
+        return pltpu.make_async_copy(src, ebufs.at[s], sem_e.at[s])
 
     def copy_uo(block, s):
         block, s = _i32(block), _i32(s)
@@ -204,43 +210,79 @@ def _defect_kernel(
 
     def copy_r(block, s):
         block, s = _i32(block), _i32(s)
-        return pltpu.make_async_copy(
-            rres.at[s], r32_hbm.at[pl.ds(block * BR + PAD, BR), :], sem_r.at[s]
-        )
+        if stk_e:
+            # the new defect goes into plane 1 of the aliased level state
+            dst = r32_hbm.at[pl.ds(_i32(1), 1), pl.ds(block * BR + PAD, BR), :]
+        else:
+            dst = r32_hbm.at[pl.ds(block * BR + PAD, BR), :]
+        return pltpu.make_async_copy(rres.at[s], dst, sem_r.at[s])
 
-    @pl.when(i == 0)
-    def _():
-        copy_u(0, 0).start()
-        copy_f(0, 0).start()
-        if with_update:
+    if stk_e:
+        # u_out is ALIASED onto u: the u' write of block i overlaps block
+        # i+1's slab read by PAD rows, so input i+1 must be awaited before
+        # output i starts (issued S-1 steps ahead — the wait is free)
+        @pl.when(i == 0)
+        def _():
+            copy_u(0).start()
+            copy_f(0, 0).start()
             copy_e(0, 0).start()
+            copy_u(0).wait()
+            for k in range(1, S):
+                @pl.when(n_blocks > k)
+                def _(k=k):
+                    copy_u(k).start()
 
-    @pl.when(i + 1 < n_blocks)
-    def _():
-        copy_u(i + 1, nslot).start()
-        copy_f(i + 1, nslot).start()
-        if with_update:
+        @pl.when(jnp.logical_and(i > 0, i + S - 1 < n_blocks))
+        def _():
+            copy_u(i + S - 1).start()
+
+        @pl.when(jnp.logical_and(i > 0, i + 1 < n_blocks))
+        def _():
+            copy_f(i + 1, nslot).start()
             copy_e(i + 1, nslot).start()
 
-    copy_u(i, slot).wait()
-    copy_f(i, slot).wait()
-    if with_update:
+        @pl.when(jnp.logical_and(i == 0, n_blocks > 1))
+        def _():
+            copy_f(1, 1).start()
+            copy_e(1, 1).start()
+
+        copy_f(i, slot).wait()
         copy_e(i, slot).wait()
+    else:
+        @pl.when(i == 0)
+        def _():
+            copy_u(0).start()
+            copy_f(0, 0).start()
+            if with_update:
+                copy_e(0, 0).start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            copy_u(i + 1).start()
+            copy_f(i + 1, nslot).start()
+            if with_update:
+                copy_e(i + 1, nslot).start()
+
+        copy_u(i).wait()
+        copy_f(i, slot).wait()
+        if with_update:
+            copy_e(i, slot).wait()
 
     @pl.when(i >= 2)
     def _():
         copy_uo(i - 2, slot).wait()
         copy_r(i - 2, slot).wait()
 
-    uh = uslabs[slot, 0, :, :]
-    ul = uslabs[slot, 1, :, :]
+    uh = uslabs[uslot, 0, :, :]
+    ul = uslabs[uslot, 1, :, :]
     off = scal_ref[3, 0].astype(jnp.int32)
 
     if with_update:
         # u' = u - scale * e on the FULL extended window (the halo rows are
         # recomputed identically by the neighboring block — deterministic)
         scale = scal_ref[0, 0]
-        ph, pe = two_prod(ebufs[slot, :, :], scale)
+        ebuf = ebufs[slot, 0, :, :] if stk_e else ebufs[slot, :, :]
+        ph, pe = two_prod(ebuf, scale)
         uh, ul = ds_add(uh, ul, -ph, -pe)
 
     if apply_bcs:
@@ -314,7 +356,10 @@ def _defect_kernel(
 
     ures[slot, 0, :, :] = uh[blk, :]
     ures[slot, 1, :, :] = ul[blk, :]
-    rres[slot, :, :] = r
+    if stk_e:
+        rres[slot, 0, :, :] = r
+    else:
+        rres[slot, :, :] = r
 
     @pl.when(i == 0)
     def _():
@@ -349,6 +394,13 @@ def _defect_kernel(
         acc_ref[1, 0] = jnp.maximum(acc_ref[1, 0], jnp.max(vx))
         acc_ref[2, 0] = jnp.maximum(acc_ref[2, 0], jnp.max(vy))
 
+    if stk_e:
+        # race-close: block i+1's u slab fully on-chip before this block's
+        # aliased u' write starts
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            copy_u(i + 1).wait()
+
     copy_uo(i, slot).start()
     copy_r(i, slot).start()
 
@@ -366,7 +418,7 @@ def _defect_kernel(
 @functools.lru_cache(maxsize=128)
 def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
                   apply_bcs=False, f_single=False, velocity_max=False,
-                  field_sumsq=False, inv2h=0.0, ny_mask=None):
+                  field_sumsq=False, inv2h=0.0, ny_mask=None, stk_e=False):
     total = padded_rows(ny, layout_br)
     nxp = padded_cols(nx)
     # the ds kernel keeps ~15 live (E, nxp) f32 planes (5 double-buffered
@@ -374,6 +426,20 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
     # spills past VMEM, so block at half the LAYOUT br.  The padded total is
     # unchanged: total - 2*PAD = blocks * layout_br is divisible by br/2.
     BR = layout_br // 2 if layout_br >= 32 else layout_br
+    if stk_e:
+        # the 3-slot u pipeline + the ds temporaries' register spills
+        # (~8 live planes, measured 133 MB total at a 36.5 MB u-slab
+        # scratch) overflow VMEM at wide layouts: halve until the u-slab
+        # scratch is <= 33 MB (the 4097^2 anchor that compiles with room)
+        def _uslab(br_):
+            return 3 * 2 * (br_ + 2 * PAD) * nxp * 4
+
+        while (
+            _uslab(BR) > 33 * 1024 * 1024
+            and (BR // 2) % 8 == 0
+            and (total - 2 * PAD) % (BR // 2) == 0
+        ):
+            BR //= 2
     n_blocks = (total - 2 * PAD) // BR
     assert n_blocks * BR == total - 2 * PAD, (total, layout_br, BR)
     kernel = functools.partial(
@@ -382,9 +448,31 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
         inv_h2=inv_h2, c_zero=c_zero, with_update=with_update,
         apply_bcs=apply_bcs, f_single=f_single,
         velocity_max=velocity_max, field_sumsq=field_sumsq, inv2h=inv2h,
+        stk_e=stk_e,
     )
     f32 = jnp.float32
     fplanes = 1 if f_single else 2
+    SU = 3 if stk_e else 2  # u pipeline slots (see kernel)
+    eplanes = (1,) if stk_e else ()
+    e_in = (
+        pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY)
+        if stk_e
+        else pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY)
+    )
+    r_out_spec = (
+        pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY)
+        if stk_e
+        else pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY)
+    )
+    r_out_shape = (
+        jax.ShapeDtypeStruct((2, total, nxp), f32)
+        if stk_e
+        else jax.ShapeDtypeStruct((total, nxp), f32)
+    )
+    kw = {}
+    if stk_e:
+        # single-consumer donation chain: u_ds -> u_out, L -> L_out
+        kw["input_output_aliases"] = {1: 0, 3: 1}
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -392,25 +480,25 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
             pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((fplanes, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            e_in,
         ],
         out_specs=[
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            r_out_spec,
             pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, total, nxp), f32),
-            jax.ShapeDtypeStruct((total, nxp), f32),
+            r_out_shape,
             jax.ShapeDtypeStruct((4, 1), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, BR + 2 * PAD, nxp), f32),
+            pltpu.VMEM((SU, 2, BR + 2 * PAD, nxp), f32),
             pltpu.VMEM((2, fplanes, BR, nxp), f32),
-            pltpu.VMEM((2, BR + 2 * PAD, nxp), f32),
+            pltpu.VMEM((2,) + eplanes + (BR + 2 * PAD, nxp), f32),
             pltpu.VMEM((2, 2, BR, nxp), f32),
-            pltpu.VMEM((2, BR, nxp), f32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2,) + eplanes + (BR, nxp), f32),
+            pltpu.SemaphoreType.DMA((SU,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -426,7 +514,71 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
             vmem_limit_bytes=(127 if nxp >= 8320 else 110) * 1024 * 1024,
         ),
         interpret=interpret,
+        **kw,
     )
+
+
+def _defect_scalars(c, h, scale, row_off):
+    """(4, 1) SMEM scalars [scale, C_hi, C_lo, row_off] for the defect
+    kernel.  C = 4 + c h^2 split to a ds scalar: in f64 at trace time if c
+    is a Python scalar; via f64 rounding if c is a traced f64; via
+    error-free transformations if c is a traced f32 (the TPU
+    runtime-scalar path — h^2 = 2^-2k is exact in f32, so
+    two_prod/two_sum keep all ~48 bits of C, which the residual's C*u
+    term needs to stay below tol)."""
+    if isinstance(c, (int, float)):
+        import numpy as np
+
+        C = 4.0 + float(c) * float(h) * float(h)
+        C_hi_py = float(np.float32(C))
+        C_hi = jnp.asarray(C_hi_py, jnp.float32)
+        C_lo = jnp.asarray(C - C_hi_py, jnp.float32)
+    elif c.dtype == jnp.float32:
+        h2 = jnp.asarray(float(h) * float(h), jnp.float32)
+        p, pe = two_prod(c, h2)
+        s, se = two_sum(jnp.asarray(4.0, jnp.float32), p)
+        C_hi, C_lo = quick_two_sum(s, se + pe)
+    else:
+        C64 = 4.0 + c * (h * h)  # traced; x64 if enabled
+        C_hi = C64.astype(jnp.float32)
+        C_lo = (C64 - C_hi.astype(C64.dtype)).astype(jnp.float32)
+    return jnp.stack(
+        [jnp.asarray(scale, jnp.float32), C_hi, C_lo,
+         jnp.asarray(row_off, jnp.float32)]
+    ).reshape(4, 1)
+
+
+def defect_pass_stk(u_ds, f_ds, L, scale, ny, nx, br, h, c,
+                    apply_bcs=False, f_single=False, velocity_max=False,
+                    field_sumsq=False, row_off=0, ny_mask=None,
+                    raw_sumsq=False, with_update=True):
+    """defect_pass on the stacked level state: e = L[0], and the new
+    defect is written INTO plane 1 of the (donated) L.  Both u_ds and L
+    are aliased through — the caller's solver loop is then a pure
+    single-consumer donation chain with no XLA copy-protection copies.
+
+    Returns (u_ds', L', r_rms[, extras]) where L'[1] is the new defect
+    and L'[0] is unspecified (the next V-cycle's zero_u leg never reads
+    it; interpret mode leaves it zero)."""
+    inv_h2 = 1.0 / (float(h) * float(h))
+    if not _is_pow2(inv_h2):
+        raise ValueError(f"1/h^2 = {inv_h2} must be a power of two (h = 1/2^k)")
+    if f_ds.shape[0] not in (1, 2):
+        raise ValueError(f"f_ds must be (1|2, rows, cols), got {f_ds.shape}")
+    f_single = f_ds.shape[0] == 1
+    c_zero = isinstance(c, (int, float)) and float(c) == 0.0
+    call = _build_defect(
+        ny, nx, br, inv_h2, c_zero, with_update, not _on_tpu(),
+        apply_bcs=bool(apply_bcs), f_single=bool(f_single),
+        velocity_max=bool(velocity_max), field_sumsq=bool(field_sumsq),
+        inv2h=0.5 / float(h), ny_mask=ny_mask, stk_e=True,
+    )
+    scal = _defect_scalars(c, h, scale, row_off)
+    u_out, L_out, acc = call(scal, u_ds, f_ds, L)
+    r_rms = acc[0, 0] if raw_sumsq else jnp.sqrt(acc[0, 0] / (nx * ny))
+    if velocity_max or field_sumsq:
+        return u_out, L_out, r_rms, (acc[1, 0], acc[2, 0], acc[3, 0])
+    return u_out, L_out, r_rms
 
 
 def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
@@ -456,31 +608,7 @@ def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
         velocity_max=bool(velocity_max), field_sumsq=bool(field_sumsq),
         inv2h=0.5 / float(h), ny_mask=ny_mask,
     )
-    # C = 4 + c h^2 split to a ds scalar: in f64 at trace time if c is a
-    # Python scalar; via f64 rounding if c is a traced f64; via error-free
-    # transformations if c is a traced f32 (the TPU runtime-scalar path —
-    # h^2 = 2^-2k is exact in f32, so two_prod/two_sum keep all ~48 bits
-    # of C, which the residual's C*u term needs to stay below tol)
-    if isinstance(c, (int, float)):
-        import numpy as np
-
-        C = 4.0 + float(c) * float(h) * float(h)
-        C_hi_py = float(np.float32(C))
-        C_hi = jnp.asarray(C_hi_py, jnp.float32)
-        C_lo = jnp.asarray(C - C_hi_py, jnp.float32)
-    elif c.dtype == jnp.float32:
-        h2 = jnp.asarray(float(h) * float(h), jnp.float32)
-        p, pe = two_prod(c, h2)
-        s, se = two_sum(jnp.asarray(4.0, jnp.float32), p)
-        C_hi, C_lo = quick_two_sum(s, se + pe)
-    else:
-        C64 = 4.0 + c * (h * h)  # traced; x64 if enabled
-        C_hi = C64.astype(jnp.float32)
-        C_lo = (C64 - C_hi.astype(C64.dtype)).astype(jnp.float32)
-    scal = jnp.stack(
-        [jnp.asarray(scale, jnp.float32), C_hi, C_lo,
-         jnp.asarray(row_off, jnp.float32)]
-    ).reshape(4, 1)
+    scal = _defect_scalars(c, h, scale, row_off)
     u_out, r32, acc = call(scal, u_ds, f_ds, e_rp)
     # raw_sumsq: the distributed solver psums the raw local sum before
     # normalizing by the GLOBAL cell count

@@ -855,34 +855,61 @@ def matvec(x, hx, hy, c):
     return unpad2d(out, ny, nx)
 
 
+
 # ---------------------------------------------------------------------------
 # stacked-aliased V-cycle legs (the round-3 fast path)
 #
-# Level state L = (3, total, nxp) f32: plane 0 = u, plane 1 = f (rhs),
-# plane 2 = the parity-split residual.  Both legs take L and return the
-# SAME buffer via input_output_aliases: u/f travel in ONE two-chunk DMA per
-# block, f persists untouched (aliasing, zero traffic), and the u write
-# lands on the buffer just read.  Measured motivation (leg_probe, v5e):
-# with >=4 concurrent DMA streams the engine falls off ~600 -> ~400 GB/s;
-# the stacked layout keeps every leg at 3 streams.
+# Level state L = (2, total, nxp) f32: plane 0 = u, plane 1 = f (rhs).
+# Both legs take L and return the SAME buffer via input_output_aliases:
+# u/f travel in ONE two-chunk DMA per block, f persists untouched
+# (aliasing, zero traffic), and the u write lands on the buffer just
+# read.  The downward leg's parity-split residual is a separate output so
+# every aliased buffer has exactly ONE consumer — XLA inserts a full-size
+# defensive copy before donating an operand with any other live use
+# (measured: two 845 MB copies per outer iteration at 8193^2).
+#
+# Measured motivation (leg_probe, v5e): with >=4 concurrent DMA streams
+# the engine falls off ~600 -> ~400 GB/s; the stacked layout keeps every
+# leg at 3 streams.
 #
 # Aliasing creates a real RAW hazard: block i's u write overlaps block
 # i+1's slab read by PAD rows.  Discipline (as in pallas3d's stacked
 # kernel): input i+1 is awaited BEFORE output i starts, with S=3 input
 # slots so that wait lands a full grid step after the DMA was issued
-# (probe-verified: the race-close is then free).  interpret mode neither
-# honors aliasing nor models DMA timing — wrappers reconstruct plane 1 and
-# tests must include a real-TPU bitwise check (CLAUDE.md round-3 notes).
+# (probe-verified: the race-close is then free).  Wide layouts sub-block
+# the kernel at br/2^k so the 3-slot scratch still fits VMEM (the
+# S=2 fallback serializes the in stream against the out stream).
+# interpret mode neither honors aliasing nor models DMA timing — wrappers
+# reconstruct plane 1 and tests must include a real-TPU bitwise check
+# (CLAUDE.md round-3 notes).
 # ---------------------------------------------------------------------------
+
+STK_S = 3  # input pipeline slots: race-close wait lands one full step late
+
+
+def _stk_bq(br: int, total: int, scratch_of) -> int:
+    """Kernel block rows for the stk kernels: the layout br, halved while
+    the 3-slot scratch exceeds the measured-safe envelope (~88 MB), as
+    long as halving keeps 16-alignment (corr parity/coarse windows) and
+    divisibility of the padded row count."""
+    bq = br
+    while (
+        scratch_of(bq) > 88 * 1024 * 1024
+        and bq % 32 == 0
+        and (total - 2 * PAD) % (bq // 2) == 0
+    ):
+        bq //= 2
+    return bq
 
 
 def _smooth2r_stk_kernel(
-    c_ref, L_hbm, out_hbm,
+    c_ref, L_hbm, out_hbm, res_hbm,
     slabs, results, sem_in, sem_ou, sem_or,
     *, BR, ny, nx, nxp, h, alpha, zero_u, S,
 ):
     """Stacked-aliased downward leg: two damped-Jacobi sweeps + residual
-    (parity-split) in one HBM pass over the (3, total, nxp) level state.
+    (parity-split, separate output) in one HBM pass over the
+    (2, total, nxp) level state.
 
     Bitwise-identical arithmetic to _smooth2r_kernel(split_res=True).
     zero_u: skip the u chunk entirely (slab carries f only, no RAW race).
@@ -909,19 +936,21 @@ def _smooth2r_stk_kernel(
     def cout_u(b, s):
         b, s = _i32(b), _i32(s)
         return pltpu.make_async_copy(
-            results.at[s, _i32(0)], out_hbm.at[_i32(0), pl.ds(b * BR + PAD, BR), :],
+            results.at[s, _i32(0)],
+            out_hbm.at[_i32(0), pl.ds(b * BR + PAD, BR), :],
             sem_ou.at[s],
         )
 
     def cout_r(b, s):
         b, s = _i32(b), _i32(s)
         return pltpu.make_async_copy(
-            results.at[s, _i32(1)], out_hbm.at[_i32(2), pl.ds(b * BR + PAD, BR), :],
+            results.at[s, _i32(1)],
+            res_hbm.at[pl.ds(b * BR + PAD, BR), :],
             sem_or.at[s],
         )
 
     if zero_u:
-        # no RAW hazard (reads plane 1, writes planes 0/2): classic
+        # no RAW hazard (reads plane 1, writes plane 0 + res): classic
         # double-buffered schedule
         @pl.when(i == 0)
         def _():
@@ -1018,31 +1047,39 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
-    n_blocks = (total - 2 * PAD) // BR
-    S = 2 if (zero_u or nxp >= 8320) else 3
+    S = 2 if zero_u else STK_S
+    chunks = 1 if zero_u else 2
+
+    def scratch_of(bq):
+        return dtype.itemsize * nxp * (
+            S * chunks * (bq + 2 * PAD) + 2 * 2 * bq
+        )
+
+    BQ = _stk_bq(BR, total, scratch_of)
+    n_blocks = (total - 2 * PAD) // BQ
     kernel = functools.partial(
         _smooth2r_stk_kernel,
-        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
+        BR=BQ, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
         h=h, alpha=alpha, zero_u=zero_u, S=S,
-    )
-    chunks = 1 if zero_u else 2
-    scratch = dtype.itemsize * nxp * (
-        S * chunks * (BR + 2 * PAD) + 2 * 2 * BR
     )
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (3, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, total, nxp), dtype),
+        out_specs=[
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, total, nxp), dtype),
+            jax.ShapeDtypeStruct((total, nxp), dtype),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((S, chunks, BR + 2 * PAD, nxp), dtype),
-            pltpu.VMEM((2, 2, BR, nxp), dtype),
+            pltpu.VMEM((S, chunks, BQ + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, 2, BQ, nxp), dtype),
             pltpu.SemaphoreType.DMA((S,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1053,7 +1090,7 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(scratch, nxp),
+            vmem_limit_bytes=_vmem_limit(scratch_of(BQ), nxp),
         ),
         input_output_aliases={1: 0},
         interpret=interpret,
@@ -1062,21 +1099,21 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
 
 def smooth2r_stk(L, ny, nx, br, h, c, alpha=0.8, zero_u=False, row_off=0,
                  ny_mask=None):
-    """Stacked-aliased downward leg on the (3, total, nxp) level state.
+    """Stacked-aliased downward leg on the (2, total, nxp) level state.
 
-    Returns L' (the same donated buffer on TPU): plane 0 = u after two
-    smooths, plane 1 = f unchanged, plane 2 = parity-split residual
-    (feeds transfer.restrict_ps).  Semantically identical to
+    Returns (L', res_ps): L' the same donated buffer on TPU with plane 0 =
+    u after two smooths and plane 1 = f unchanged; res_ps the parity-split
+    residual (feeds transfer.restrict_ps).  Semantically identical to
     smooth2r_split_rp on (L[0], L[1])."""
     call = _build_s2r_stk(
         ny, nx, jnp.dtype(L.dtype).name, br, float(h), float(alpha),
         not _on_tpu(), zero_u=zero_u, ny_mask=ny_mask,
     )
-    out = call(_scal2(c, row_off, L.dtype), L)
+    out, res_ps = call(_scal2(c, row_off, L.dtype), L)
     if not _on_tpu():
         # interpret mode does not honor aliasing: reconstruct plane 1
         out = out.at[1].set(L[1])
-    return out
+    return out, res_ps
 
 
 def _corr_smooth2_stk_kernel(
@@ -1174,8 +1211,7 @@ def _corr_smooth2_stk_kernel(
     res2 = res_of(u1)
     u2 = u1 + w * res2
 
-    # free the results slot BEFORE writing it: cout(i-2) reads the same
-    # slot and Mosaic does not order vector stores against in-flight DMAs
+    # free the results slot BEFORE writing it (WAR vs the in-flight cout)
     @pl.when(i >= 2)
     def _():
         cout(i - 2, oslot).wait()
@@ -1215,36 +1251,40 @@ def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
-    n_blocks = (total - 2 * PAD) // BR
-    S = 2 if nxp >= 8320 else 3
+    S = STK_S
+
+    def scratch_of(bq):
+        return dtype.itemsize * nxp * (
+            S * 2 * (bq + 2 * PAD) + S * (bq // 2 + 2 * PAD) + 2 * bq
+        )
+
+    BQ = _stk_bq(BR, total, scratch_of)
+    n_blocks = (total - 2 * PAD) // BQ
     kernel = functools.partial(
         _corr_smooth2_stk_kernel,
-        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
+        BR=BQ, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
         h=h, alpha=alpha, with_norm=with_norm, S=S,
-    )
-    scratch = dtype.itemsize * nxp * (
-        S * 2 * (BR + 2 * PAD) + S * (BR // 2 + 2 * PAD) + 2 * BR
     )
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((3, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, total, nxp), dtype),
+            jax.ShapeDtypeStruct((2, total, nxp), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((S, 2, BR + 2 * PAD, nxp), dtype),
-            pltpu.VMEM((S, BR // 2 + 2 * PAD, nxp), dtype),
-            pltpu.VMEM((2, BR, nxp), dtype),
+            pltpu.VMEM((S, 2, BQ + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((S, BQ // 2 + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, BQ, nxp), dtype),
             pltpu.SemaphoreType.DMA((S,)),
             pltpu.SemaphoreType.DMA((S,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1255,7 +1295,7 @@ def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(scratch, nxp),
+            vmem_limit_bytes=_vmem_limit(scratch_of(BQ), nxp),
         ),
         input_output_aliases={1: 0},
         interpret=interpret,
@@ -1266,7 +1306,7 @@ def corr_smooth2_stk(L, corrx_rp, ny, nx, br, h, c, alpha=0.8,
                      with_norm=False, row_off=0, ny_mask=None):
     """Stacked-aliased upward leg on a PREBUILT x-interleaved correction
     buffer (see corr_smooth2_raw for its layout).  Returns (L', r_rms or
-    None) with plane 0 = corrected+smoothed u, planes 1/2 unchanged."""
+    None) with plane 0 = corrected+smoothed u, plane 1 unchanged."""
     assert br % 16 == 0, br
     call = _build_cs2_stk(
         ny, nx, jnp.dtype(L.dtype).name, br,
@@ -1275,7 +1315,7 @@ def corr_smooth2_stk(L, corrx_rp, ny, nx, br, h, c, alpha=0.8,
     )
     out, acc = call(_scal2(c, row_off, L.dtype), L, corrx_rp)
     if not _on_tpu():
-        out = out.at[1].set(L[1]).at[2].set(L[2])
+        out = out.at[1].set(L[1])
     if not with_norm:
         return out, None
     return out, jnp.sqrt(acc[0, 0] / (nx * (ny_mask or ny)))

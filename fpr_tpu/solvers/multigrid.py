@@ -323,9 +323,11 @@ def _stk_eligible(cfg: MGConfig) -> bool:
 
 def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
                assume_zero_u=False):
-    """One V-cycle on the stacked level state L = (3, total, nxp)
-    [u | f | res_ps], with BOTH fused legs aliased onto L (u and f travel
-    in one two-chunk DMA; f persists with zero traffic).  Semantically
+    """One V-cycle on the stacked level state L = (2, total, nxp) [u | f],
+    with BOTH fused legs aliased onto L (u and f travel in one two-chunk
+    DMA; f persists with zero traffic).  The downward residual is a
+    separate buffer so each aliased operand has exactly one consumer (XLA
+    copy-protects donated values with other live uses).  Semantically
     identical to ``vcycle_rp`` on (L[0], L[1]); requires _stk_eligible(cfg).
 
     Returns (L', r_rms): plane 0 the corrected iterate, plane 1 untouched.
@@ -345,15 +347,15 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     br = pallas2d._pick_br(ny, nx, jnp.dtype(L.dtype).itemsize)
     alpha = cfg.jacobi_damping
 
-    L = pallas2d.smooth2r_stk(
+    L, res_ps = pallas2d.smooth2r_stk(
         L, ny, nx, br, h, c, alpha, zero_u=assume_zero_u
     )
-    res_c = transfer.restrict_ps(L[2], ny, nx, br, apply_bcs=apply_bcs)
+    res_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=apply_bcs)
 
     nyc, nxc = res_c.shape
     brc = pallas2d._pick_br(nyc, nxc, jnp.dtype(L.dtype).itemsize)
     Lc = jnp.zeros(
-        (3, pallas2d.padded_rows(nyc, brc), pallas2d.padded_cols(nxc)),
+        (2, pallas2d.padded_rows(nyc, brc), pallas2d.padded_cols(nxc)),
         L.dtype,
     )
     Lc = Lc.at[1, pallas2d.PAD : pallas2d.PAD + nyc, :nxc].set(res_c)
@@ -610,10 +612,12 @@ def mg_solve_ds_rp(
         return jnp.logical_and(it < niters, r_rms >= tolf)
 
     if _stk_eligible(cfg):
-        # stacked-aliased V-cycle: the level state L = [e | r32 | res_ps]
-        # is the loop carry, donated through both legs each cycle — u/f in
-        # one DMA per block, rhs persists with zero traffic
-        L0 = jnp.zeros((3, total, nxp), jnp.float32).at[1].set(r32)
+        # stacked-aliased V-cycle: the level state L = [e | r32] is the
+        # loop carry, donated through both legs each cycle (u/f in one DMA
+        # per block, rhs persists with zero traffic) and then through the
+        # defect kernel, which writes the new defect straight into plane 1
+        # — a single-consumer chain, so XLA never copy-protects a buffer
+        L0 = jnp.zeros((2, total, nxp), jnp.float32).at[1].set(r32)
 
         def body(carry):
             u_ds, L, _, _, it = carry
@@ -622,17 +626,13 @@ def mg_solve_ds_rp(
                     L, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs,
                     assume_zero_u=(cyc == 0),
                 )
-            out = dsm.defect_pass(u_ds, f_ds, L[0], 1.0, ny, nx, br, h, c, **kw)
+            out = dsm.defect_pass_stk(u_ds, f_ds, L, 1.0, ny, nx, br, h, c, **kw)
             if extras_on:
-                u_ds, r32_n, r_rms, ex = out
+                u_ds, L, r_rms, ex = out
             else:
-                u_ds, r32_n, r_rms = out
+                u_ds, L, r_rms = out
                 ex = ()
-            # barrier: without it XLA fuses the plane-1 update into the
-            # defect custom call (kCustom) and blows the 16 MB scoped-vmem
-            # limit at 4097^2 (measured compile failure)
-            r32_n = jax.lax.optimization_barrier(r32_n)
-            return u_ds, L.at[1].set(r32_n), r_rms, ex, it + 1
+            return u_ds, L, r_rms, ex, it + 1
 
         u_ds, _, r_rms, extras, it = jax.lax.while_loop(
             cond, body, (u_ds, L0, r_rms, extras, jnp.asarray(0, jnp.int32))

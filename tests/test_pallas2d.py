@@ -171,15 +171,15 @@ def test_stk_legs_match_split_kernels(rng):
     I = lambda a: np.asarray(pallas2d.unpad2d(a, ny, nx))
 
     u1, r1 = pallas2d.smooth2r_split_rp(zero, f_rp, ny, nx, br, h, c, zero_u=True)
-    L = jnp.zeros((3, total, nxp), f_rp.dtype).at[1].set(f_rp)
-    L1 = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, zero_u=True)
+    L = jnp.zeros((2, total, nxp), f_rp.dtype).at[1].set(f_rp)
+    L1, res1 = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, zero_u=True)
     np.testing.assert_array_equal(I(u1), I(L1[0]))
-    np.testing.assert_array_equal(W(r1), W(L1[2]))
+    np.testing.assert_array_equal(W(r1), W(res1))
 
     u2, r2 = pallas2d.smooth2r_split_rp(u1, f_rp, ny, nx, br, h, c)
-    L2 = pallas2d.smooth2r_stk(L1, ny, nx, br, h, c)
+    L2, res2 = pallas2d.smooth2r_stk(L1, ny, nx, br, h, c)
     np.testing.assert_array_equal(I(u2), I(L2[0]))
-    np.testing.assert_array_equal(W(r2), W(L2[2]))
+    np.testing.assert_array_equal(W(r2), W(res2))
     np.testing.assert_array_equal(np.asarray(L2[1]), np.asarray(f_rp))
 
     nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
@@ -211,7 +211,7 @@ def test_vcycle_stk_matches_vcycle_rp(rng, monkeypatch):
     I = lambda a: np.asarray(pallas2d.unpad2d(a, n, n))
 
     u_rp = jnp.zeros((total, nxp), f.dtype)
-    L = jnp.zeros((3, total, nxp), f.dtype).at[1].set(f_rp)
+    L = jnp.zeros((2, total, nxp), f.dtype).at[1].set(f_rp)
     for cyc in range(2):
         u_rp, r_rp = multigrid.vcycle_rp(
             u_rp, f_rp, n, n, h, 0.0, 1e-8, cfg, assume_zero_u=(cyc == 0)
