@@ -524,6 +524,49 @@ def _auto_inner_cycles(ny: int, nx: int) -> int:
     return 1 if max(ny, nx) >= 8193 else 2
 
 
+def _fmg_guess(r32_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
+    """Full-multigrid initial guess for A e = r32 (f32, row-padded in/out).
+
+    Restrict the rhs down the ladder (full weighting — injection on a
+    rough rhs aliases its high modes), solve the coarsest level directly,
+    then prolongate upward with one V-cycle per level (the fine level's
+    cycle included — FMG's classical 'solve to discretization error in
+    one sweep').  Costs ~1.33 fine V-cycles + the transfer pyramid, and
+    replaces 1-2 defect-correction outer iterations (multigrid.jl has no
+    FMG mode; reference cost anchor is its repeated V-cycling,
+    multigrid.jl:41-84)."""
+    from fpr_tpu.ops import pallas2d, transfer
+
+    levels = [(ny, nx, h, pallas2d.unpad2d(r32_rp, ny, nx))]
+    while min(levels[-1][0], levels[-1][1]) > cfg.coarse_size:
+        nyl, nxl, hl, rl = levels[-1]
+        rc = transfer.restrict_full_weighting(rl, apply_bcs=apply_bcs)
+        levels.append((rc.shape[0], rc.shape[1], hl * 2.0, rc))
+
+    nyl, nxl, hl, rl = levels[-1]
+    smooth, _ = _smooth_fns(cfg)
+    e, _ = _coarse_solve(jnp.zeros_like(rl), rl, hl, c, tol, cfg, smooth)
+
+    for nyl, nxl, hl, rl in reversed(levels[:-1]):
+        e = transfer.prolongate(e, (nyl, nxl), apply_bcs=apply_bcs)
+        brl = pallas2d._pick_br(nyl, nxl, 4)
+        totall = pallas2d.padded_rows(nyl, brl)
+        nxpl = pallas2d.padded_cols(nxl)
+        Ll = (
+            jnp.zeros((2, totall, nxpl), jnp.float32)
+            .at[0].set(pallas2d.pad2d(e, brl))
+            .at[1].set(pallas2d.pad2d(rl, brl))
+        )
+        Ll, _ = vcycle_stk(
+            Ll, nyl, nxl, hl, c, tol, cfg, apply_bcs=apply_bcs,
+            assume_zero_u=False,
+        )
+        e = pallas2d.unpad2d(Ll[0], nyl, nxl)
+
+    br = pallas2d._pick_br(ny, nx, 4)
+    return pallas2d.pad2d(e, br)
+
+
 def mg_solve_ds_rp(
     u_ds,
     f_ds,
@@ -540,6 +583,7 @@ def mg_solve_ds_rp(
     tol: float = 1e-7,
     velocity_max: bool = False,
     field_sumsq: bool = False,
+    fmg: bool = False,
 ):
     """Row-padded core of the double-single defect-correction solver.
 
@@ -611,13 +655,30 @@ def mg_solve_ds_rp(
         _, _, r_rms, _, it = carry
         return jnp.logical_and(it < niters, r_rms >= tolf)
 
+    L_fmg = None
+    if fmg and _stk_eligible(cfg):
+        # FMG preamble: coarse-to-fine initial guess for the first defect
+        # equation, then one ds defect pass to fold it into u and measure
+        # the true defect — typically replaces 1-2 outer iterations
+        e0 = _fmg_guess(r32, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs)
+        out = dsm.defect_pass_stk(
+            u_ds, f_ds, jnp.stack([e0, r32]), 1.0, ny, nx, br, h, c, **kw)
+        if extras_on:
+            u_ds, L_fmg, r_rms, extras = out
+        else:
+            u_ds, L_fmg, r_rms = out
+
     if _stk_eligible(cfg):
         # stacked-aliased V-cycle: the level state L = [e | r32] is the
         # loop carry, donated through both legs each cycle (u/f in one DMA
         # per block, rhs persists with zero traffic) and then through the
         # defect kernel, which writes the new defect straight into plane 1
         # — a single-consumer chain, so XLA never copy-protects a buffer
-        L0 = jnp.zeros((2, total, nxp), jnp.float32).at[1].set(r32)
+        L0 = (
+            L_fmg
+            if L_fmg is not None
+            else jnp.zeros((2, total, nxp), jnp.float32).at[1].set(r32)
+        )
 
         def body(carry):
             u_ds, L, _, _, it = carry
@@ -676,6 +737,7 @@ def mg_solve_ds(
     inner_cycles: int | None = None,
     return_pair: bool = False,
     apply_bcs: bool = False,
+    fmg: bool = False,
 ):
     """Defect-correction MG with the double-single fused outer kernel.
 
@@ -723,6 +785,7 @@ def mg_solve_ds(
     u_ds, r_rms, it = mg_solve_ds_rp(
         u_ds, f_ds, tolf, ny, nx, h, c, niters,
         cfg=cfg, inner_cycles=inner_cycles, apply_bcs=apply_bcs, r0=r0, tol=tol,
+        fmg=fmg,
     )
     if return_pair:
         # skip the emulated-f64 exit combine (26 ms at 4097^2): the hi/lo
@@ -740,13 +803,15 @@ def mg_solve_ds(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "tol", "niters", "cfg", "inner_cycles", "return_pair"),
+    static_argnames=("h", "tol", "niters", "cfg", "inner_cycles", "return_pair",
+                     "fmg"),
 )
 def mg_solve_ds_jit(
-    f, h, c, tol, niters, cfg=MGConfig(), inner_cycles=None, return_pair=False
+    f, h, c, tol, niters, cfg=MGConfig(), inner_cycles=None, return_pair=False,
+    fmg=False,
 ):
     """Jitted zero-initial-guess mg_solve_ds (the benchmark entry point)."""
     return mg_solve_ds(
         None, f, h, c, tol, niters,
-        cfg=cfg, inner_cycles=inner_cycles, return_pair=return_pair,
+        cfg=cfg, inner_cycles=inner_cycles, return_pair=return_pair, fmg=fmg,
     )

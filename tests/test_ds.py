@@ -259,3 +259,27 @@ def test_defect_pass_extras(rng):
     assert float(ax) == pytest.approx(float(vx.max()), rel=1e-6)
     assert float(ay) == pytest.approx(float(vy.max()), rel=1e-6)
     assert float(ss) == pytest.approx(float((uh.astype(np.float64) ** 2).sum()), rel=1e-5)
+
+
+def test_mg_solve_ds_fmg(rng, monkeypatch):
+    # FMG preamble: same tolerance, fewer (or equal) outer iterations,
+    # solution agreeing with the plain path at the tolerance level
+    from fpr_tpu.core.config import MGConfig
+
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
+    n = 257
+    h = 1.0 / (n - 1)
+    cfg = MGConfig(coarse_size=17)
+    b = jnp.zeros((n, n), jnp.float32).at[1:-1, 1:-1].set(
+        jnp.asarray(rng.standard_normal((n - 2, n - 2)), jnp.float32)
+    )
+    u0, r0, i0 = multigrid.mg_solve_ds(None, b, h, 0.0, 1e-6, 30)
+    u1, r1, i1 = multigrid.mg_solve_ds(None, b, h, 0.0, 1e-6, 30, fmg=True)
+    f_rms = float(jnp.sqrt(jnp.mean(b.astype(jnp.float64) ** 2)))
+    assert float(r1) < 1e-6 * f_rms
+    assert int(i1) <= int(i0)
+    rel = float(
+        jnp.linalg.norm((u1 - u0).astype(jnp.float64))
+        / jnp.linalg.norm(u0.astype(jnp.float64))
+    )
+    assert rel < 1e-4
