@@ -455,14 +455,14 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
     SU = 3 if stk_e else 2  # u pipeline slots (see kernel)
     eplanes = (1,) if stk_e else ()
     e_in = (
-        pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY)
+        pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY)
         if stk_e
-        else pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY)
+        else pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY)
     )
     r_out_spec = (
-        pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY)
+        pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY)
         if stk_e
-        else pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY)
+        else pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY)
     )
     r_out_shape = (
         jax.ShapeDtypeStruct((2, total, nxp), f32)
@@ -478,12 +478,12 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((fplanes, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((fplanes, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             e_in,
         ],
         out_specs=[
-            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             r_out_spec,
             pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],

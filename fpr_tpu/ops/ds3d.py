@@ -214,11 +214,11 @@ def _build_ds3d(shape, BZ, dt, dtau, dx, dy, dz, D, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, nz, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((2, nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, nz, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((2, nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((2, nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[

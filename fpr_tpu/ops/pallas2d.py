@@ -265,11 +265,11 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -444,11 +444,11 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY
+            (2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY
         ),
         out_shape=jax.ShapeDtypeStruct((2, total, nxp), dtype),
         scratch_shapes=[
@@ -688,12 +688,12 @@ def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -1067,11 +1067,11 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, total, nxp), dtype),
@@ -1270,11 +1270,11 @@ def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[

@@ -414,11 +414,11 @@ def _build_callk(shape, dtype_name, K, BZ, dt, dtau, dx, dy, dz, D, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nz + 2 * K - 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 2 * K - 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -652,10 +652,10 @@ def _build_callk_stacked(shape, dtype_name, K, BZ, dt, dtau, dx, dy, dz, D, inte
         grid=grid,
         in_specs=[
             pl.BlockSpec((2,), lambda i: _im32(0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((2, nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, nz + 2 * K, nyp, nxp), lambda i: _im32(0, 0, 0, 0), memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -767,10 +767,10 @@ def _build_call(shape, dtype_name, BZ, dt, dtau, dx, dy, dz, D, interpret,
         in_specs=[
             pl.BlockSpec((6,), lambda i: _im32(0), memory_space=pltpu.SMEM),
             pl.BlockSpec((BZ, nyp, nxp), lambda i: _im32(i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((nz + 2, nyp, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[

@@ -252,12 +252,12 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(
-                (2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pltpu.ANY
+                (2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY
             ),
             pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
