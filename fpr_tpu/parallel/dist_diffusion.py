@@ -29,7 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 top-level spelling; experimental alias is deprecated
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
 from fpr_tpu.core.grid import Grid3D, outer_steps, pseudo_timestep

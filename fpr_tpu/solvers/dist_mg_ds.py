@@ -42,7 +42,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 top-level spelling; experimental alias is deprecated
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fpr_tpu.core.config import ExecutionPolicy, MGConfig, Smoother

@@ -6,7 +6,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 top-level spelling; experimental alias is deprecated
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from fpr_tpu.core.config import DiffusionConfig, ExecutionPolicy
 from fpr_tpu.models import diffusion3d
