@@ -28,6 +28,15 @@ def main():
     ap.add_argument("--f64-iter-max-k", type=int, default=12,
                     help="largest k for the per-iteration-f64 solvers (mg, cg) "
                          "in workprec mode (emulated f64 on TPU)")
+    ap.add_argument("--wp-solvers", default=None,
+                    help="comma list restricting the workprec solver set "
+                         "(resume aid: on slow-compile days one k=12+ "
+                         "config can exceed a 10-min harness window)")
+    ap.add_argument("--mg64-max-k", type=int, default=11,
+                    help="largest k for the plain-f64 mg solver specifically "
+                         "(its k=12 compile through the remote helper "
+                         "repeatedly exceeded 10 min; cg at k=12 compiles "
+                         "fine and anchors the comparison)")
     ap.add_argument("--dst", action="store_true",
                     help="add truncated-ladder DST coarse-solver configs "
                          "(coarse='dst' rows) to the k/l sweep")
@@ -114,6 +123,10 @@ def main():
                 "mg_pcg": lambda: krylov.mg_preconditioned_cg(b, h, 0.0, args.tol, 100),
             }
             for name, fn in configs.items():
+                if args.wp_solvers and name not in args.wp_solvers.split(","):
+                    continue
+                if name == "mg" and k > args.mg64_max_k:
+                    continue
                 if name in ("mg", "cg") and k > args.f64_iter_max_k:
                     # emulated-f64 per-iteration paths: CG needs O(n)
                     # iterations and plain f64 MG ~10 full f64 cycles —
