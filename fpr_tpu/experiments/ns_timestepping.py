@@ -27,6 +27,11 @@ def main():
         "while_loop, double-single MG solves — the TPU production path)",
     )
     ap.add_argument("--Pr", type=float, default=None, help="single-Pr run")
+    ap.add_argument(
+        "--mg-dst", type=int, default=None, metavar="COARSE",
+        help="truncate the fast tier's MG ladder at COARSE (= 2^l+1) and "
+        "solve that subtree exactly with the DST matmul solver — fewer "
+        "sequential levels per V-cycle (the dominant per-step latency)")
     ap.add_argument("--reps", type=int, default=None,
                     help="timed repetitions (median + iqr recorded). "
                     "Default: 3 for the jit-cached fast tier, 1 for the "
@@ -60,9 +65,18 @@ def main():
             if csv_has_row(args.out, key):
                 print(f"skip (cached): {key}")
                 continue
+            mg_kw = {}
+            if args.mg_dst:
+                if args.solver != "fast":
+                    raise SystemExit("--mg-dst applies to the fast tier only")
+                from fpr_tpu.core.config import CoarseSolver, MGConfig
+
+                mg_kw["mg"] = MGConfig(
+                    coarse_size=args.mg_dst, coarse_solver=CoarseSolver.DST
+                )
             cfg = NSConfig(
                 nx=nx, ny=ny, Pr=Pr, beta=beta, ttot=args.ttot, tol=args.tol,
-                niters=50, mg_solver=args.solver,
+                niters=50, mg_solver=args.solver, **mg_kw,
             )
             reps = args.reps if args.reps else (3 if args.solver == "fast" else 1)
             try:
