@@ -59,9 +59,15 @@ def main():
         raise SystemExit("--solver fast is the f32 production path (no --f64)")
 
     pr_values = [args.Pr] if args.Pr is not None else [1e-3, 1e-2, 1e-1, 1.0, 10.0]
+    # --mg-dst rows are a distinct tier in the CSV (else resume-by-key
+    # would silently skip them in favor of the cached plain-fast rows).
+    solver_label = (
+        f"fast_dst{args.mg_dst}" if args.mg_dst else args.solver
+    )
     for Pr in pr_values:
         for beta in (0.0, 0.5, 1.0):
-            key = dict(Pr=Pr, beta=beta, nx=nx, backend=backend, solver=args.solver)
+            key = dict(Pr=Pr, beta=beta, nx=nx, backend=backend,
+                       solver=solver_label)
             if csv_has_row(args.out, key):
                 print(f"skip (cached): {key}")
                 continue
@@ -96,7 +102,7 @@ def main():
             out = outs[-1]
             row = dict(
                 Pr=Pr, beta=beta, nx=nx, ny=ny, backend=backend,
-                solver=args.solver, steps=out.steps,
+                solver=solver_label, steps=out.steps,
                 timed_steps=out.timed_iters,
                 seconds=round(float(np.median(ts)), 3),
                 iqr_s=round(float(np.subtract(*np.percentile(ts, [75, 25]))), 4),
