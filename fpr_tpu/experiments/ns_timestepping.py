@@ -28,6 +28,10 @@ def main():
     )
     ap.add_argument("--Pr", type=float, default=None, help="single-Pr run")
     ap.add_argument(
+        "--betas", type=str, default=None, metavar="B0,B1",
+        help="comma list restricting the beta sweep (e.g. '0.5,1.0' to "
+        "skip explicit rows, which never call the MG solver)")
+    ap.add_argument(
         "--mg-dst", type=int, default=None, metavar="COARSE",
         help="truncate the fast tier's MG ladder at COARSE (= 2^l+1) and "
         "solve that subtree exactly with the DST matmul solver — fewer "
@@ -64,8 +68,12 @@ def main():
     solver_label = (
         f"fast_dst{args.mg_dst}" if args.mg_dst else args.solver
     )
+    betas = (
+        tuple(float(b) for b in args.betas.split(","))
+        if args.betas else (0.0, 0.5, 1.0)
+    )
     for Pr in pr_values:
-        for beta in (0.0, 0.5, 1.0):
+        for beta in betas:
             key = dict(Pr=Pr, beta=beta, nx=nx, backend=backend,
                        solver=solver_label)
             if csv_has_row(args.out, key):
