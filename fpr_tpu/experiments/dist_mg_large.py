@@ -42,9 +42,15 @@ def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={args.devices}"
-        ).strip()
+        flags += f" --xla_force_host_platform_device_count={args.devices}"
+    # one host core timeslices all virtual devices: a >=k=13 shard's leg
+    # takes minutes, so the default 40 s collective rendezvous terminate
+    # timeout kills the run (observed at k=15) — raise both timeouts
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+    os.environ["XLA_FLAGS"] = flags.strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

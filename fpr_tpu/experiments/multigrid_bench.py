@@ -136,7 +136,12 @@ def main():
                 if csv_has_row(args.out, dict(k=k, solver=name, backend=backend)):
                     continue
                 try:
-                    st, (u, r, it) = timed(jax.jit(fn))
+                    # NOT jax.jit(fn): the solver entry points are already
+                    # jitted, and an outer jit of a zero-arg closure bakes
+                    # b/u0 into the HLO as constants — at k=13 that is
+                    # ~4.3 GB of literal data and the remote compile
+                    # helper rejects the request with HTTP 413.
+                    st, (u, r, it) = timed(fn)
                     device_s = ""
                     if name == "ds" and backend == "tpu" and k <= 12:
                         N = 20 if k <= 10 else 5
@@ -164,7 +169,8 @@ def main():
                         dst_ = timed_stats(lambda: float(many(b32, jnp.int32(N))), reps=3)
                         device_s = round(dst_.median_s / N, 5)
                 except Exception as exc:
-                    print(f"k={k} {name}: FAILED {type(exc).__name__}")
+                    msg = str(exc).splitlines()[0][:200] if str(exc) else ""
+                    print(f"k={k} {name}: FAILED {type(exc).__name__}: {msg}")
                     jax.clear_caches()
                     continue
                 row = dict(k=k, solver=name, backend=backend,
@@ -173,6 +179,10 @@ def main():
                            device_s=device_s)
                 append_csv_row(args.out, row, key_fields=("k", "solver", "backend"))
                 print(row)
+                if k >= 13:
+                    # >1 GB buffers: cached executables + live constants
+                    # accumulate across configs and fail runs that work fresh
+                    jax.clear_caches()
         return
 
     for k in range(args.min_k, args.max_k + 1):
