@@ -86,7 +86,7 @@ def measure_tunnel_overhead():
     return float(np.median(ts))
 
 
-def bench_mg(n: int, tol: float, amortize: int = 10):
+def bench_mg(n: int, tol: float, amortize: int = 10, tunnel_s: float = 0.0):
     """Time-to-tolerance via the double-single defect-correction solver
     with the DST truncated ladder (no emulated f64 anywhere; the reported
     residual is the TRUE defect, verified against an f64 oracle after
@@ -151,7 +151,10 @@ def bench_mg(n: int, tol: float, amortize: int = 10):
 
     float(many(b, jnp.int32(N)))
     per_stats = timed_stats(lambda: float(many(b, jnp.int32(N))), reps=3)
-    per_solve = per_stats.median_s / N
+    # subtract the tunnel's ONE per-call RPC (same convention as the
+    # multigrid_bench sweep's device_s column; at a 46 ms drift day the
+    # un-subtracted bias is ~4.6 ms on a ~12 ms solve)
+    per_solve = max(per_stats.median_s - tunnel_s, 0.0) / N
 
     # f64 oracle verification OUTSIDE the timed region (b is
     # f32-representable, so its f64 lift is exact)
@@ -339,10 +342,11 @@ def main():
 
     if not args.skip_mg:
         n_mg = 1025 if args.quick else 4097
-        tunnel_ms = _attempt("tunnel", measure_tunnel_overhead)
-        if tunnel_ms is not None:
-            extras["tunnel_rpc_overhead_ms"] = round(tunnel_ms * 1e3, 2)
-        mg = _attempt("mg", lambda: bench_mg(n_mg, 1e-6))
+        tunnel_rpc_s = _attempt("tunnel", measure_tunnel_overhead)
+        if tunnel_rpc_s is not None:
+            extras["tunnel_rpc_overhead_ms"] = round(tunnel_rpc_s * 1e3, 2)
+        mg = _attempt("mg", lambda: bench_mg(n_mg, 1e-6,
+                                             tunnel_s=tunnel_rpc_s or 0.0))
         if mg is not None:
             mg_stats, mg_per_solve, mg_iters, mg_rel = mg
             mg_s = mg_stats.median_s

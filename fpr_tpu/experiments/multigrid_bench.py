@@ -104,6 +104,50 @@ def main():
 
         return timed_stats(run, reps=reps), r
 
+    def amortized_device(solve, b, k, reps=3):
+        """Per-solve device time: N data-dependent solves amortize the
+        tunnel's per-call RPC (which otherwise floors every k<12 row at
+        the same 28-46 ms constant), minus the remaining ONE RPC.
+
+        k<=12 uses a while_loop harness (traced bound keeps the whole
+        trip on-device).  At k>=13 the while carry of >1 GB buffers OOMs
+        (RESOURCE_EXHAUSTED: the loop state duplicates them), so those
+        use an UNROLLED chain of calls inside one jit — the per-segment
+        ~1.3 ms dispatch cost hides entirely behind solves that run
+        90-600 ms each."""
+        N = 20 if k <= 10 else (5 if k <= 12 else 3)
+        if k <= 12:
+
+            @jax.jit
+            def many(b, n_it):
+                def cond(c):
+                    return c[0] < n_it
+
+                def body(c):
+                    i, acc = c
+                    _, r, _ = solve(b + 0.0 * acc)
+                    return i + 1, acc + r
+
+                return jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), jnp.float32(0.0))
+                )[1]
+
+            run = lambda: float(many(b, jnp.int32(N)))
+        else:
+
+            @jax.jit
+            def many_unrolled(b):
+                acc = jnp.float32(0.0)
+                for _ in range(N):
+                    _, r, _ = solve(b + 0.0 * acc)
+                    acc = acc + r
+                return acc
+
+            run = lambda: float(many_unrolled(b))
+        run()  # compile + warm
+        st = timed_stats(run, reps=reps)
+        return round(max(st.median_s - tunnel_s, 0.0) / N, 5)
+
     if args.workprec:
         for k in range(args.min_k, args.max_k + 1):
             n = 2**k + 1
@@ -143,31 +187,16 @@ def main():
                     # helper rejects the request with HTTP 413.
                     st, (u, r, it) = timed(fn)
                     device_s = ""
-                    if name == "ds" and backend == "tpu" and k <= 12:
-                        N = 20 if k <= 10 else 5
-
-                        @jax.jit
-                        def many(b, n_it):
-                            def cond(c):
-                                return c[0] < n_it
-
-                            def body(c):
-                                i, acc = c
-                                _, rr, _ = multigrid.mg_solve_ds(
-                                    None, b + 0.0 * acc, h, 0.0, args.tol,
-                                    30, return_pair=True,
-                                    cfg=MGConfig(coarse_size=min(513, n),
-                                                 coarse_solver=CoarseSolver.DST),
-                                )
-                                return i + 1, acc + rr
-
-                            return jax.lax.while_loop(
-                                cond, body, (jnp.int32(0), jnp.float32(0.0))
-                            )[1]
-
-                        float(many(b32, jnp.int32(N)))
-                        dst_ = timed_stats(lambda: float(many(b32, jnp.int32(N))), reps=3)
-                        device_s = round(dst_.median_s / N, 5)
+                    if name == "ds" and backend == "tpu":
+                        device_s = amortized_device(
+                            lambda bb: multigrid.mg_solve_ds(
+                                None, bb, h, 0.0, args.tol, 30,
+                                return_pair=True,
+                                cfg=MGConfig(coarse_size=min(513, n),
+                                             coarse_solver=CoarseSolver.DST),
+                            ),
+                            b32, k,
+                        )
                 except Exception as exc:
                     msg = str(exc).splitlines()[0][:200] if str(exc) else ""
                     print(f"k={k} {name}: FAILED {type(exc).__name__}: {msg}")
@@ -217,40 +246,14 @@ def main():
                             b32, h, 0.0, args.tol, 30, cfg=cfg,
                             return_pair=True,
                         )
-                        # amortized per-solve device time: N data-chained
-                        # solves inside ONE jit — excludes the dev
-                        # tunnel's per-call RPC latency (2.5-27 ms
-                        # observed), which otherwise floors every k<12
-                        # row at the same constant.  Beyond k=12 device
-                        # time dwarfs the tunnel and the doubled trace
-                        # cost isn't worth it.
-                        N = 20 if k <= 10 else 5
-
-                        # while_loop, not fori: unrolled short segments
-                        # pay ~1.3 ms un-hidden dispatch each (measured)
-                        @jax.jit
-                        def many(b, n_it):
-                            def cond(c):
-                                return c[0] < n_it
-
-                            def body(c):
-                                i, acc = c
-                                _, r, _ = multigrid.mg_solve_ds(
-                                    None, b + 0.0 * acc, h, 0.0, args.tol,
-                                    30, cfg=cfg, return_pair=True,
-                                )
-                                return i + 1, acc + r
-
-                            return jax.lax.while_loop(
-                                cond, body, (jnp.int32(0), jnp.float32(0.0))
-                            )[1]
-
                         def measure_device():
-                            float(many(b32, jnp.int32(N)))  # compile+warm
-                            st = timed_stats(
-                                lambda: float(many(b32, jnp.int32(N))), reps=3
+                            return amortized_device(
+                                lambda bb: multigrid.mg_solve_ds(
+                                    None, bb, h, 0.0, args.tol, 30,
+                                    cfg=cfg, return_pair=True,
+                                ),
+                                b32, k,
                             )
-                            return max(st.median_s - tunnel_s, 0.0) / N
                     elif solver == "mixed":
                         b = rhs(n, jnp.float64)
                         u0 = jnp.zeros((n, n), jnp.float64)
@@ -264,7 +267,7 @@ def main():
                             u0, b, h, 0.0, args.tol, 30, cfg=cfg
                         )
                     st, (u, r, it) = timed(fn)
-                    if solver == "ds" and backend == "tpu" and k <= 12:
+                    if solver == "ds" and backend == "tpu":
                         device_s = measure_device()
                 except Exception as exc:
                     print(f"k={k} l={l} {coarse.value} {solver}: FAILED {type(exc).__name__}")
