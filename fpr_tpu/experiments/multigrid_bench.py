@@ -115,7 +115,7 @@ def main():
         use an UNROLLED chain of calls inside one jit — the per-segment
         ~1.3 ms dispatch cost hides entirely behind solves that run
         90-600 ms each."""
-        N = 20 if k <= 10 else (5 if k <= 12 else 3)
+        N = 20 if k <= 10 else (5 if k <= 12 else (3 if k == 13 else 2))
         if k <= 12:
 
             @jax.jit
@@ -152,21 +152,26 @@ def main():
         for k in range(args.min_k, args.max_k + 1):
             n = 2**k + 1
             h = 1.0 / (n - 1)
-            b = rhs(n, jnp.float64)
-            b32 = rhs(n, jnp.float32)
-            u0 = jnp.zeros((n, n), jnp.float64)
+            # solver entry-point factories; the rhs/u0 arrays are built
+            # PER SOLVER below (not hoisted): at k=14 the f64 b/u0 pair
+            # alone is 4.2 GB of device ballast that OOMs the ds tier
+            # (which only needs the 1.07 GB f32 rhs)
+            ds_cfg = MGConfig(coarse_size=min(513, n),
+                              coarse_solver=CoarseSolver.DST)
             configs = {
-                "mg": lambda: multigrid.mg_solve_jit(u0, b, h, 0.0, args.tol, 30),
-                "mixed": lambda: multigrid.mg_solve_mixed_jit(u0, b, h, 0.0, args.tol, 30),
-                "ds": lambda: multigrid.mg_solve_ds_jit(
-                    b32, h, 0.0, args.tol, 30, return_pair=True,
-                    cfg=MGConfig(coarse_size=min(513, n),
-                                 coarse_solver=CoarseSolver.DST),
-                ),
-                "cg": lambda: krylov.cg(b, h, h, 0.0, args.tol, 40000),
-                "mg_pcg": lambda: krylov.mg_preconditioned_cg(b, h, 0.0, args.tol, 100),
+                "mg": lambda u0, b, _: (
+                    lambda: multigrid.mg_solve_jit(u0, b, h, 0.0, args.tol, 30)),
+                "mixed": lambda u0, b, _: (
+                    lambda: multigrid.mg_solve_mixed_jit(u0, b, h, 0.0, args.tol, 30)),
+                "ds": lambda u0, b, b32: (
+                    lambda: multigrid.mg_solve_ds_jit(
+                        b32, h, 0.0, args.tol, 30, return_pair=True, cfg=ds_cfg)),
+                "cg": lambda u0, b, _: (
+                    lambda: krylov.cg(b, h, h, 0.0, args.tol, 40000)),
+                "mg_pcg": lambda u0, b, _: (
+                    lambda: krylov.mg_preconditioned_cg(b, h, 0.0, args.tol, 100)),
             }
-            for name, fn in configs.items():
+            for name, mk_fn in configs.items():
                 if args.wp_solvers and name not in args.wp_solvers.split(","):
                     continue
                 if name == "mg" and k > args.mg64_max_k:
@@ -180,20 +185,28 @@ def main():
                 if csv_has_row(args.out, dict(k=k, solver=name, backend=backend)):
                     continue
                 try:
-                    # NOT jax.jit(fn): the solver entry points are already
-                    # jitted, and an outer jit of a zero-arg closure bakes
-                    # b/u0 into the HLO as constants — at k=13 that is
-                    # ~4.3 GB of literal data and the remote compile
-                    # helper rejects the request with HTTP 413.
+                    # only the arrays THIS solver consumes go to the
+                    # device; NOT jax.jit(fn): the solver entry points are
+                    # already jitted, and an outer jit of a zero-arg
+                    # closure bakes b/u0 into the HLO as constants — at
+                    # k=13 that is ~4.3 GB of literal data and the remote
+                    # compile helper rejects the request with HTTP 413.
+                    if name == "ds":
+                        u0 = b = None
+                        b32 = rhs(n, jnp.float32)
+                    else:
+                        b32 = None
+                        b = rhs(n, jnp.float64)
+                        u0 = (jnp.zeros((n, n), jnp.float64)
+                              if name in ("mg", "mixed") else None)
+                    fn = mk_fn(u0, b, b32)
                     st, (u, r, it) = timed(fn)
                     device_s = ""
                     if name == "ds" and backend == "tpu":
                         device_s = amortized_device(
                             lambda bb: multigrid.mg_solve_ds(
                                 None, bb, h, 0.0, args.tol, 30,
-                                return_pair=True,
-                                cfg=MGConfig(coarse_size=min(513, n),
-                                             coarse_solver=CoarseSolver.DST),
+                                return_pair=True, cfg=ds_cfg,
                             ),
                             b32, k,
                         )
@@ -208,6 +221,8 @@ def main():
                            device_s=device_s)
                 append_csv_row(args.out, row, key_fields=("k", "solver", "backend"))
                 print(row)
+                del fn, u, r
+                u0 = b = b32 = None
                 if k >= 13:
                     # >1 GB buffers: cached executables + live constants
                     # accumulate across configs and fail runs that work fresh

@@ -30,7 +30,9 @@ def main():
     ap.add_argument(
         "--betas", type=str, default=None, metavar="B0,B1",
         help="comma list restricting the beta sweep (e.g. '0.5,1.0' to "
-        "skip explicit rows, which never call the MG solver)")
+        "skip the long explicit rows; note every beta solves the "
+        "streamfunction Poisson problem each step, so MG-ladder options "
+        "affect explicit rows too)")
     ap.add_argument(
         "--mg-dst", type=int, default=None, metavar="COARSE",
         help="truncate the fast tier's MG ladder at COARSE (= 2^l+1) and "
