@@ -96,8 +96,14 @@ def plot_work_precision(results: Path, figs: Path):
 def plot_timestepping(results: Path, figs: Path):
     path = results / "ns_semi_implicit_vs_explicit.csv"
     if not path.exists():
+        path = results / "ns_fullscale.csv"
+    if not path.exists():
         return
     rows = _read(path)
+    # the committed full-scale table carries several solver tiers
+    # (mixed / fast / fast_dst* A-B rows); plot the production tier
+    if any(r.get("solver") == "fast" for r in rows):
+        rows = [r for r in rows if r.get("solver") == "fast"]
     fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
     for beta in sorted({r["beta"] for r in rows}):
         sel = sorted(
