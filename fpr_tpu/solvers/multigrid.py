@@ -534,7 +534,15 @@ def _fmg_guess(r32_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
     one sweep').  Costs ~1.33 fine V-cycles + the transfer pyramid, and
     replaces 1-2 defect-correction outer iterations (multigrid.jl has no
     FMG mode; reference cost anchor is its repeated V-cycling,
-    multigrid.jl:41-84)."""
+    multigrid.jl:41-84).
+
+    Measured on TPU (v5e, amortized device time, DST-513 ladder): a
+    NEGATIVE result at scale, which is why ``fmg`` stays off by default —
+    k=12: 18.8 vs 18.3 ms (outers 4 -> 3, preamble costs the saved
+    outer back); k=13: 116 vs 90 ms (outers 7 -> 6; the transfer
+    pyramid + extra per-level cycles at 8193^2 far outweigh one outer).
+    Useful only when a better-than-zero initial guess is needed for a
+    SINGLE non-repeated solve."""
     from fpr_tpu.ops import pallas2d, transfer
 
     levels = [(ny, nx, h, pallas2d.unpad2d(r32_rp, ny, nx))]
