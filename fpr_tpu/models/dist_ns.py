@@ -17,6 +17,13 @@ Numerics: per-cell arithmetic is IDENTICAL to the single-device fast path
 (per-shard partials + psum/pmax), so the adaptive dt can differ in the
 last ulp and trajectories drift apart at the f32 rounding level over many
 steps — the parity test pins a short window.
+
+Reference lineage: the simulated physics/stepping is scripts-part2/
+part2.jl:150-257 (operators, adaptive dt, streamfunction solve); the
+reference has no distributed part-2 analog at all (its MPI layer,
+ImplicitGlobalGrid via part1_kernel_programming.jl:100-101, covers only
+part 1), so the sharding design here follows the TPU mesh/ppermute model
+of fpr_tpu.parallel instead.
 """
 
 from __future__ import annotations
