@@ -245,7 +245,12 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--k", type=int, default=10, help="grid is (2^k+1)^2")
     p.add_argument("--l", type=int, default=2, help="coarse grid is (2^l+1)^2")
-    p.add_argument("--coarse", choices=["jacobi", "cg"], default="jacobi")
+    p.add_argument(
+        "--coarse", choices=["jacobi", "cg", "dst"], default="jacobi",
+        help="coarse-grid solver; 'dst' = exact MXU sine-transform solve "
+        "(pair with --l 9 for the DST-513 truncated ladder, the benchmark "
+        "headline configuration)",
+    )
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument(
         "--solver", choices=["direct", "mixed", "ds"], default="direct",
