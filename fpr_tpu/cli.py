@@ -104,10 +104,28 @@ def cmd_ns(args):
         # simulate_fast is f32-only (mirrors ns_timestepping's guard)
         if args.f64:
             raise SystemExit("--fast is f32-only; drop --f64 or drop --fast")
-        out = ns.simulate_fast(
-            cfg, verbose=args.verbose, max_steps=args.max_steps,
-            snapshot_steps=args.snapshot_every, state0=state0,
-        )
+        if args.devices > 1:
+            # row-sharded production tier (models/dist_ns) — explicit
+            # path only, no snapshots/resume
+            if args.beta != 0.0:
+                raise SystemExit("--devices>1 supports the explicit path "
+                                 "only (beta=0)")
+            if state0 is not None or args.snapshot_every or args.save:
+                raise SystemExit("--devices>1 has no snapshot/checkpoint "
+                                 "support; drop --resume/--save/"
+                                 "--snapshot-every")
+            from fpr_tpu.models import dist_ns
+            from fpr_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh((args.devices,), ("y",))
+            out = dist_ns.simulate_fast_sharded(
+                cfg, mesh, verbose=args.verbose, max_steps=args.max_steps,
+            )
+        else:
+            out = ns.simulate_fast(
+                cfg, verbose=args.verbose, max_steps=args.max_steps,
+                snapshot_steps=args.snapshot_every, state0=state0,
+            )
     else:
         if state0 is not None and "t_hi" in state0:
             raise SystemExit(
@@ -233,6 +251,11 @@ def main(argv=None):
         "--fast", action="store_true",
         help="fused-kernel on-device-loop path (simulate_fast): f32 state, "
         "double-single multigrid — the TPU production configuration",
+    )
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="with --fast: row-shard the simulation over a 1D device mesh "
+        "(models/dist_ns; explicit path only)",
     )
     p.add_argument("--save", type=str, default=None)
     p.add_argument("--resume", type=str, default=None,
