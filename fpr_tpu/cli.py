@@ -164,6 +164,9 @@ def cmd_mg(args):
     from fpr_tpu.core.config import CoarseSolver, ExecutionPolicy, MGConfig
     from fpr_tpu.solvers import multigrid
 
+    if args.devices > 1 and args.solver != "ds":
+        raise SystemExit("--devices>1 requires --solver ds (the sharded "
+                         "production tier)")
     n = 2**args.k + 1
     h = 1.0 / (n - 1)
     cfg = MGConfig(
@@ -184,8 +187,18 @@ def cmd_mg(args):
         solve = lambda: multigrid.mg_solve_mixed_jit(u0, b, h, 0.0, args.tol, 30, cfg=cfg)
     elif args.solver == "ds":
         b = b.astype(jnp.float32)
-        solve = lambda: multigrid.mg_solve_ds_jit(b, h, 0.0, args.tol, 30, cfg=cfg, return_pair=True)
-        _orig = solve
+        if args.devices > 1:
+            from fpr_tpu.parallel.mesh import make_mesh
+            from fpr_tpu.solvers import dist_mg_ds
+
+            mesh = make_mesh((args.devices,), ("y",))
+            _orig = lambda: dist_mg_ds.mg_solve_ds_sharded(
+                b, h, 0.0, args.tol, 30, mesh, cfg=cfg
+            )
+        else:
+            _orig = lambda: multigrid.mg_solve_ds_jit(
+                b, h, 0.0, args.tol, 30, cfg=cfg, return_pair=True
+            )
         solve = lambda: (lambda pair, r, it: (pair[0], r, it))(*_orig())
     else:
         solve = lambda: multigrid.mg_solve_jit(u0, b, h, 0.0, args.tol, 30, cfg=cfg)
@@ -280,6 +293,11 @@ def main(argv=None):
         help="direct: single-precision-path mg_solve; mixed: f64 defect "
         "correction around f32 Pallas V-cycles; ds: all-f32 double-single "
         "defect correction (the benchmark headline path)",
+    )
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="with --solver ds: row-shard the solve over a 1D device mesh "
+        "(solvers/dist_mg_ds — grids beyond one chip's HBM)",
     )
     p.set_defaults(fn=cmd_mg)
 
