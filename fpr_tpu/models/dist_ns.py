@@ -181,8 +181,11 @@ def simulate_fast_sharded(
     Same contract as simulate_fast minus snapshots/resume; returns an
     NSResult with gathered global fields.
     """
-    from fpr_tpu.models.navier_stokes import NSResult, init_field
+    from fpr_tpu.models.navier_stokes import (
+        NSResult, fast_mg_default, init_field,
+    )
 
+    cfg = fast_mg_default(cfg)  # same production ladder as simulate_fast
     ny, nx = cfg.ny, cfg.nx
     ndev = mesh.shape[axis]
     plan = plan_shards(ny, nx, ndev, cfg.mg, replicate_below)
