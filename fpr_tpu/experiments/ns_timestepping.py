@@ -37,7 +37,9 @@ def main():
         "--mg-dst", type=int, default=None, metavar="COARSE",
         help="truncate the fast tier's MG ladder at COARSE (= 2^l+1) and "
         "solve that subtree exactly with the DST matmul solver — fewer "
-        "sequential levels per V-cycle (the dominant per-step latency)")
+        "sequential levels per V-cycle (the dominant per-step latency). "
+        "NOTE: DST-129 is now the fast tier's DEFAULT at production sizes "
+        "(navier_stokes.fast_mg_default); this flag overrides it")
     ap.add_argument("--reps", type=int, default=None,
                     help="timed repetitions (median + iqr recorded). "
                     "Default: 3 for the jit-cached fast tier, 1 for the "

@@ -206,3 +206,21 @@ def test_simulate_fast_snapshots():
     assert steps[-1] == out.steps
     T_last = out.snapshots[-1][0]
     np.testing.assert_array_equal(T_last, out.T)
+
+
+def test_fast_mg_default_upgrade_rules():
+    """The f32 fast path upgrades a default MGConfig() to the DST-129
+    ladder at production sizes only; explicit configs and small grids
+    are never touched (measured rationale in fast_mg_default's doc)."""
+    from fpr_tpu.core.config import CoarseSolver, MGConfig, NSConfig
+    from fpr_tpu.models.navier_stokes import fast_mg_default
+
+    up = fast_mg_default(NSConfig(nx=2049, ny=513))
+    assert up.mg.coarse_size == 129
+    assert up.mg.coarse_solver is CoarseSolver.DST
+
+    small = NSConfig(nx=257, ny=65)
+    assert fast_mg_default(small).mg == MGConfig()
+
+    explicit = NSConfig(nx=2049, ny=513, mg=MGConfig(coarse_size=33))
+    assert fast_mg_default(explicit).mg.coarse_size == 33
