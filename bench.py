@@ -170,6 +170,8 @@ def bench_ns():
     ttot=0.005, tol=1e-7): fused operator kernel + on-device time loop +
     warm-started double-single multigrid.  Reference: 8736 timed steps in
     1314 s on the Titan X-class GPU (BASELINE.md)."""
+    import dataclasses
+
     from fpr_tpu.core.config import NSConfig
     from fpr_tpu.models.navier_stokes import simulate_fast
 
@@ -181,7 +183,16 @@ def bench_ns():
     times = [out.t_elapsed]
     for _ in range(2):  # warm repetitions (jit cache shared in-process)
         times.append(simulate_fast(cfg, seed=0).t_elapsed)
-    return float(np.median(times)), out.timed_iters, times
+
+    # semi-implicit tier (the reference's headline experiment: 37 steps
+    # in 25.5 s on the V100, part2 BASELINE) — same scale, beta=0.5
+    semi_cfg = dataclasses.replace(cfg, beta=0.5)
+    semi = simulate_fast(semi_cfg, seed=0)
+    semi_times = [semi.t_elapsed]
+    for _ in range(2):
+        semi_times.append(simulate_fast(semi_cfg, seed=0).t_elapsed)
+    return (float(np.median(times)), out.timed_iters, times,
+            float(np.median(semi_times)), semi.timed_iters)
 
 
 def check_aliased_kernels():
@@ -367,12 +378,15 @@ def main():
     if not (args.skip_ns or args.quick):
         ns = _attempt("ns", bench_ns)
         if ns is not None:
-            ns_s, ns_steps, ns_times = ns
+            ns_s, ns_steps, ns_times, semi_s, semi_steps = ns
             extras.update({
                 "ns_explicit_2049x513_Pr0.01_seconds": round(ns_s, 2),
                 "ns_rep_seconds": [round(t, 2) for t in ns_times],
                 "ns_timed_steps": ns_steps,
                 "ns_vs_reference_1314s": round(1314.0 / ns_s, 1),
+                "ns_semi_implicit_seconds": round(semi_s, 3),
+                "ns_semi_timed_steps": semi_steps,
+                "ns_semi_vs_reference_25.5s": round(25.5 / semi_s, 1),
             })
 
     out = {
