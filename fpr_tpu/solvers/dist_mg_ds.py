@@ -137,12 +137,15 @@ def _refresh(a, ny_l: int, axis: str):
     return a
 
 
-def _restrict_ps_cols(res_ps, ny_l: int, br: int, nx: int):
+def _restrict_ps_cols(res_ps, ny_l: int, br: int, nx: int,
+                      apply_bcs: bool = False):
     """Injection restriction of a parity-split local residual: extract the
     per-block even halves (the in-kernel row pass) and stride the columns.
     Returns the local PHYSICAL coarse slab (ny_l//2, nxc).  No boundary-row
     zeroing: global-boundary residual rows are already masked to zero
-    in-kernel; columns 0 / nxc-1 are zeroed (global in every shard)."""
+    in-kernel; columns 0 / nxc-1 are zeroed (global in every shard).
+    apply_bcs: the Neumann left/right column copies of transfer.restrict_ps
+    — a lane-dim operation, identical in every shard."""
     nxp = res_ps.shape[-1]
     n_blocks = ny_l // br
     even = (
@@ -154,10 +157,13 @@ def _restrict_ps_cols(res_ps, ny_l: int, br: int, nx: int):
     coarse = even[:, :nx][:, ::2]
     coarse = coarse.at[:, 0].set(0.0)
     coarse = coarse.at[:, nxc - 1].set(0.0)
+    if apply_bcs:
+        coarse = coarse.at[:, 0].set(coarse[:, 1])
+        coarse = coarse.at[:, nxc - 1].set(coarse[:, nxc - 2])
     return coarse
 
 
-def _x_interleave_cols(slab, nxc: int):
+def _x_interleave_cols(slab, nxc: int, apply_bcs: bool = False):
     """x_interleave_coarse minus the boundary-ROW zeroing (rows here are a
     local window mid-grid; global boundary rows are structurally zero in
     every coarse correction).  slab: (rows, nxc) physical columns."""
@@ -165,7 +171,11 @@ def _x_interleave_cols(slab, nxc: int):
     rows = c0.shape[0]
     cx = (c0[:, :-1] + c0[:, 1:]) * 0.5
     out = jnp.stack([c0[:, :-1], cx], axis=2).reshape(rows, 2 * (nxc - 1))
-    return jnp.concatenate([out, c0[:, -1:]], axis=1)  # (rows, nx_fine)
+    out = jnp.concatenate([out, c0[:, -1:]], axis=1)  # (rows, nx_fine)
+    if apply_bcs:  # Neumann columns, as x_interleave_coarse(apply_bcs=True)
+        out = out.at[:, 0].set(out[:, 1])
+        out = out.at[:, -1].set(out[:, -2])
+    return out
 
 
 def _pack_local(phys, ny_l: int, br: int, nx: int):
@@ -184,7 +194,8 @@ def _pack_local(phys, ny_l: int, br: int, nx: int):
 
 
 def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
-                 cfg: MGConfig, axis: str, off0, assume_zero_u: bool):
+                 cfg: MGConfig, axis: str, off0, assume_zero_u: bool,
+                 apply_bcs: bool = False):
     """One V-cycle on shard-local rp operands (trace-time unrolled).
 
     e_rp/r_rp: this shard's level-0 correction / rhs in rp layout.
@@ -212,7 +223,8 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
             zero_u=zero_u, row_off=off_m, ny_mask=ny_gm,
         )
         down.append((u, f, (ny_lm, ny_gm, nx_gm, br_m, h_m, off_m)))
-        res_c = _restrict_ps_cols(res_ps, ny_lm, br_m, nx_gm)
+        res_c = _restrict_ps_cols(res_ps, ny_lm, br_m, nx_gm,
+                                  apply_bcs=apply_bcs)
         if m + 1 < plan.s:
             ny_ln, _, nx_gn, br_n = plan.level(m + 1)
             f = _pack_local(res_c, ny_ln, br_n, nx_gn)
@@ -230,7 +242,8 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
             sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
             corr_glob = jnp.zeros_like(res_glob)
             corr_glob, _ = vcycle(
-                corr_glob, res_glob, h_m * 2.0, c, tol, sub_cfg
+                corr_glob, res_glob, h_m * 2.0, c, tol, sub_cfg,
+                apply_bcs=apply_bcs,
             )
 
     # ---- up sweep ----
@@ -247,7 +260,7 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
             # x-interleaved correction
             from fpr_tpu.ops.pallas2d import x_interleave_coarse
 
-            corrx_g = x_interleave_coarse(corr_glob)  # zero-boundary + interleave
+            corrx_g = x_interleave_coarse(corr_glob, apply_bcs=apply_bcs)
             L = rows_needed - (PAD - 4)
             G = jnp.pad(
                 corrx_g,
@@ -263,7 +276,7 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
             # refresh its ghosts, take the +-4-row extended physical slab
             corr_rp = _refresh(corr_rp_next, nyc_l, axis)
             ext = corr_rp[PAD - 4 : PAD + nyc_l + 4, :nxc]
-            corrx = _x_interleave_cols(ext, nxc)
+            corrx = _x_interleave_cols(ext, nxc, apply_bcs=apply_bcs)
             corrx_rp = jnp.zeros((rows_needed, nxp_m), corrx.dtype)
             corrx_rp = corrx_rp.at[
                 PAD - 4 : PAD + nyc_l + 4, : corrx.shape[1]
@@ -295,6 +308,7 @@ def mg_solve_ds_sharded(
     inner_cycles: int | None = None,
     replicate_below: int = 1025,
     gather_result: bool = True,
+    apply_bcs: bool = False,
 ):
     """Distributed double-single defect-correction MG, zero initial guess.
 
@@ -305,8 +319,12 @@ def mg_solve_ds_sharded(
     ((hi, lo), r_rms, iters) with hi/lo global (gather_result=True) or the
     raw sharded per-device stack (ndev, 2, total, nxp).
 
-    apply_bcs is not supported (the NS temperature solves stay single-chip;
-    the streamfunction solve and the MG benchmark need no BCs).
+    apply_bcs: the NS temperature BCs (Dirichlet bottom/top, Neumann
+    left/right — part2_utils.jl:22-25), applied inside the per-shard
+    defect kernel against GLOBAL row indices (the kernel takes the
+    shard's traced row offset) and as shard-local Neumann column copies
+    in every transfer; the sharded Helmholtz solves of the semi-implicit
+    NS path build on this.
     """
     if f.dtype != jnp.float32:
         raise ValueError("sharded ds solver takes an exactly-f32 rhs")
@@ -318,14 +336,14 @@ def mg_solve_ds_sharded(
     plan = plan_shards(ny, nx, ndev, cfg, replicate_below)
     solve = _build_sharded(
         plan, mesh, axis, float(h), float(tol), int(niters), cfg,
-        int(inner_cycles), bool(gather_result),
+        int(inner_cycles), bool(gather_result), bool(apply_bcs),
     )
     return solve(f, jnp.asarray(c, jnp.float32))
 
 
 @functools.lru_cache(maxsize=32)
 def _build_sharded(plan, mesh, axis, h, tol, niters, cfg, inner_cycles,
-                   gather_result):
+                   gather_result, apply_bcs=False):
     from fpr_tpu.ops import ds as dsm
     from fpr_tpu.ops import stencil2d
 
@@ -342,8 +360,19 @@ def _build_sharded(plan, mesh, axis, h, tol, niters, cfg, inner_cycles,
 
         u_ds = jnp.zeros((2, total0, nxp), jnp.float32)
         f_ds = f_rp[None]  # single-plane (exactly-f32) rhs
-        r32 = -f_rp        # zero guess: r = A*0 - f
-        r_rms0 = f_rms
+        if apply_bcs:
+            # BCs make u_bc != 0: the initial defect must run through the
+            # kernel (scale=0 folds in the BCs exactly, as the single-
+            # device entry does)
+            u_ds, r32, sumsq0 = dsm.defect_pass(
+                u_ds, f_ds, jnp.zeros((total0, nxp), jnp.float32), 0.0,
+                ny_l, nx, br0, h, c, row_off=off0, ny_mask=ny,
+                raw_sumsq=True, apply_bcs=True,
+            )
+            r_rms0 = jnp.sqrt(lax.psum(sumsq0, axis) / (nx * ny))
+        else:
+            r32 = -f_rp    # zero guess: r = A*0 - f
+            r_rms0 = f_rms
 
         def cond(carry):
             _, _, r_rms, it = carry
@@ -355,13 +384,14 @@ def _build_sharded(plan, mesh, axis, h, tol, niters, cfg, inner_cycles,
             for cyc in range(inner_cycles):
                 e = _vcycle_dist(
                     e, r32, plan, h, c, tol, cfg, axis, off0,
-                    assume_zero_u=(cyc == 0),
+                    assume_zero_u=(cyc == 0), apply_bcs=apply_bcs,
                 )
             u_ds = _refresh(u_ds, ny_l, axis)
             e = _refresh(e, ny_l, axis)
             u_ds, r32, sumsq = dsm.defect_pass(
                 u_ds, f_ds, e, 1.0, ny_l, nx, br0, h, c,
                 row_off=off0, ny_mask=ny, raw_sumsq=True,
+                apply_bcs=apply_bcs,
             )
             sumsq = lax.psum(sumsq, axis)
             r_rms = jnp.sqrt(sumsq / (nx * ny))

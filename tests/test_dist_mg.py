@@ -126,3 +126,41 @@ def test_simulate_fast_sharded_matches_single(rng):
     assert np.abs(got.W - ref.W).max() / scale < 1e-4
     assert np.abs(got.T - ref.T).max() < 1e-4
     assert np.abs(got.S - ref.S).max() / max(np.abs(ref.S).max(), 1e-30) < 1e-3
+
+
+def test_mg_solve_ds_sharded_apply_bcs_matches_single(rng):
+    """apply_bcs (NS temperature BCs) through the sharded solver: the
+    per-shard defect kernel applies the Dirichlet rows against global
+    indices and the transfers apply shard-local Neumann columns; must
+    reproduce the single-device apply_bcs solve, including on a Helmholtz
+    shift (the semi-implicit NS temperature equation's operator)."""
+    n = 1025
+    h = 1.0 / (n - 1)
+    tol = 1e-6
+    b = (
+        jnp.zeros((n, n), jnp.float32)
+        .at[1:-1, 1:-1]
+        .set(jnp.asarray(rng.random((n - 2, n - 2)), jnp.float32))
+    )
+    cfg = MGConfig(coarse_size=129, coarse_solver=CoarseSolver.DST)
+    mesh = make_mesh((8,), ("y",))
+
+    for c in (0.0, 64.0):  # Poisson and Helmholtz-shifted
+        (hi_d, lo_d), r_d, it_d = dist_mg_ds.mg_solve_ds_sharded(
+            b, h, c, tol, 20, mesh, axis="y", cfg=cfg,
+            replicate_below=513, apply_bcs=True,
+        )
+        (hi_s, lo_s), r_s, it_s = multigrid.mg_solve_ds(
+            None, b, h, c, tol, 20, cfg=cfg, return_pair=True,
+            apply_bcs=True,
+        )
+        assert int(it_d) == int(it_s)
+        u_d = np.asarray(hi_d, np.float64) + np.asarray(lo_d, np.float64)
+        u_s = np.asarray(hi_s, np.float64) + np.asarray(lo_s, np.float64)
+        scale = np.abs(u_s).max()
+        assert np.abs(u_d - u_s).max() / scale < 1e-6
+        # the BCs must actually hold on the returned field
+        np.testing.assert_allclose(u_d[0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(u_d[-1], 0.0, atol=1e-6)
+        np.testing.assert_allclose(u_d[:, 0], u_d[:, 1], atol=1e-6)
+        np.testing.assert_allclose(u_d[:, -1], u_d[:, -2], atol=1e-6)
