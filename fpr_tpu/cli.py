@@ -105,11 +105,8 @@ def cmd_ns(args):
         if args.f64:
             raise SystemExit("--fast is f32-only; drop --f64 or drop --fast")
         if args.devices > 1:
-            # row-sharded production tier (models/dist_ns) — explicit
-            # path only, no snapshots/resume
-            if args.beta != 0.0:
-                raise SystemExit("--devices>1 supports the explicit path "
-                                 "only (beta=0)")
+            # row-sharded production tier (models/dist_ns; all beta
+            # tiers) — no snapshots/resume
             if state0 is not None or args.snapshot_every or args.save:
                 raise SystemExit("--devices>1 has no snapshot/checkpoint "
                                  "support; drop --resume/--save/"
@@ -268,7 +265,7 @@ def main(argv=None):
     p.add_argument(
         "--devices", type=int, default=1,
         help="with --fast: row-shard the simulation over a 1D device mesh "
-        "(models/dist_ns; explicit path only)",
+        "(models/dist_ns; explicit and semi-implicit tiers)",
     )
     p.add_argument("--save", type=str, default=None)
     p.add_argument("--resume", type=str, default=None,

@@ -1,5 +1,5 @@
-"""Distributed Navier-Stokes fast path: the fused-kernel explicit
-simulation row-sharded over a device mesh.
+"""Distributed Navier-Stokes fast path: the fused-kernel simulation
+row-sharded over a device mesh.
 
 Completes the production-tier distribution story (VERDICT round-2 item 1):
 the same per-step pipeline as ``navier_stokes.simulate_fast`` — warm-started
@@ -9,8 +9,12 @@ sim-time — but every array is a shard-local rp block, halos ride 8-row
 ppermute faces, norms/maxima are psum/pmax, and the multigrid V-cycle is
 the sharded production tier of fpr_tpu.solvers.dist_mg_ds.
 
-Scope: explicit timestepping (beta = 0 — 1 MG solve/step).  The
-semi-implicit path's apply_bcs solves remain single-chip.
+Scope: every beta tier.  Explicit (beta = 0): one streamfunction solve
+per step.  Semi-implicit/implicit (beta >= 0.5): the rhs-mode operator
+kernel plus two further warm-started sharded Helmholtz solves per step —
+the T solve with the NS temperature BCs (dist_mg_ds apply_bcs: Dirichlet
+rows against global indices in-kernel, shard-local Neumann columns in
+the transfers).
 
 Numerics: per-cell arithmetic is IDENTICAL to the single-device fast path
 (same kernels, traced row offsets); only the reduction order differs
@@ -48,65 +52,92 @@ from fpr_tpu.ops.pallas2d import PAD, padded_cols, padded_rows
 from fpr_tpu.solvers.dist_mg_ds import ShardPlan, _refresh, _vcycle_dist, plan_shards
 
 
-def _solve_s_sharded(S_ds, w_rp, tolf, plan: ShardPlan, h, cfg, axis, off0,
-                     niters, tol, inner_cycles=1):
-    """Warm-started sharded ds solve of lap S = W with in-kernel velocity
-    maxima (the distributed mg_solve_ds_rp of the NS fast step).
+def _solve_sharded(u_ds, f_rp, tolf, plan: ShardPlan, h, c, cfg, axis, off0,
+                   niters, tol, inner_cycles=1, apply_bcs=False,
+                   velocity_max=False):
+    """Warm-started sharded ds solve of (lap - c) u = f — the distributed
+    mg_solve_ds_rp of the NS fast step.
 
-    Returns (S_ds', max_vx, max_vy) with the maxima pmax'd (describing the
-    returned iterate, as the adaptive dt needs)."""
+    velocity_max: accumulate max|du/dy|, max|du/dx| in the defect kernel
+    (the streamfunction solve; the adaptive dt needs the maxima of the
+    returned iterate).  apply_bcs: NS temperature BCs (the semi-implicit
+    T Helmholtz solve).  Returns u_ds' — plus (max_vx, max_vy) pmax'd
+    when velocity_max."""
     from fpr_tpu.ops import ds as dsm
 
     ny, nx = plan.ny, plan.nx
     ny_l, br0 = plan.ny_l, plan.brs[0]
-    kw = dict(row_off=off0, ny_mask=ny, raw_sumsq=True, velocity_max=True)
+    kw = dict(row_off=off0, ny_mask=ny, raw_sumsq=True,
+              velocity_max=velocity_max, apply_bcs=apply_bcs)
 
-    zero_e = jnp.zeros_like(w_rp)
-    S_ds = _refresh(S_ds, ny_l, axis)
-    S_ds, r32, sumsq, ex = dsm.defect_pass(
-        S_ds, w_rp[None], zero_e, 0.0, ny_l, nx, br0, h, 0.0, **kw
+    zero_e = jnp.zeros_like(f_rp)
+    u_ds = _refresh(u_ds, ny_l, axis)
+    out = dsm.defect_pass(
+        u_ds, f_rp[None], zero_e, 0.0, ny_l, nx, br0, h, c, **kw
     )
+    if velocity_max:
+        u_ds, r32, sumsq, ex = out
+        ax = lax.pmax(ex[0], axis)
+        ay = lax.pmax(ex[1], axis)
+    else:
+        u_ds, r32, sumsq = out
+        ax = ay = jnp.float32(0.0)
     r_rms = jnp.sqrt(lax.psum(sumsq, axis) / (nx * ny))
-    ax = lax.pmax(ex[0], axis)
-    ay = lax.pmax(ex[1], axis)
 
     def cond(carry):
         _, _, r_rms, _, _, it = carry
         return jnp.logical_and(it < niters, r_rms >= tolf)
 
     def body(carry):
-        S_ds, r32, _, _, _, it = carry
+        u_ds, r32, _, _, _, it = carry
         e = zero_e
         for cyc in range(inner_cycles):
             e = _vcycle_dist(
-                e, r32, plan, h, 0.0, tol, cfg, axis, off0,
-                assume_zero_u=(cyc == 0),
+                e, r32, plan, h, c, tol, cfg, axis, off0,
+                assume_zero_u=(cyc == 0), apply_bcs=apply_bcs,
             )
-        S_ds = _refresh(S_ds, ny_l, axis)
+        u_ds = _refresh(u_ds, ny_l, axis)
         e = _refresh(e, ny_l, axis)
-        S_ds, r32, sumsq, ex = dsm.defect_pass(
-            S_ds, w_rp[None], e, 1.0, ny_l, nx, br0, h, 0.0, **kw
+        out = dsm.defect_pass(
+            u_ds, f_rp[None], e, 1.0, ny_l, nx, br0, h, c, **kw
         )
+        if velocity_max:
+            u_ds, r32, sumsq, ex = out
+            ax = lax.pmax(ex[0], axis)
+            ay = lax.pmax(ex[1], axis)
+        else:
+            u_ds, r32, sumsq = out
+            ax = ay = jnp.float32(0.0)
         r_rms = jnp.sqrt(lax.psum(sumsq, axis) / (nx * ny))
-        ax = lax.pmax(ex[0], axis)
-        ay = lax.pmax(ex[1], axis)
-        return S_ds, r32, r_rms, ax, ay, it + 1
+        return u_ds, r32, r_rms, ax, ay, it + 1
 
-    S_ds, _, _, ax, ay, _ = lax.while_loop(
-        cond, body, (S_ds, r32, r_rms, ax, ay, jnp.asarray(0, jnp.int32))
+    u_ds, _, _, ax, ay, _ = lax.while_loop(
+        cond, body, (u_ds, r32, r_rms, ax, ay, jnp.asarray(0, jnp.int32))
     )
-    return S_ds, ax, ay
+    if velocity_max:
+        return u_ds, ax, ay
+    return u_ds
+
+
+def _solve_s_sharded(S_ds, w_rp, tolf, plan, h, cfg, axis, off0,
+                     niters, tol, inner_cycles=1):
+    """Streamfunction solve: lap S = W with in-kernel velocity maxima."""
+    return _solve_sharded(
+        S_ds, w_rp, tolf, plan, h, 0.0, cfg, axis, off0, niters, tol,
+        inner_cycles=inner_cycles, velocity_max=True,
+    )
 
 
 @functools.lru_cache(maxsize=16)
 def _build_ns_loop(plan: ShardPlan, mesh, axis, cfg: NSConfig):
     """Jitted sharded chunk loop: runs fused NS steps while sim_time < ttot
     and step < limit."""
+    from fpr_tpu.models.navier_stokes import _semi_implicit
     from fpr_tpu.ops import ds as dsm
     from fpr_tpu.ops import pallas_ns
     from fpr_tpu.ops.ds import f32_pair
 
-    assert cfg.beta == 0.0, "sharded fast path is explicit-only"
+    semi = _semi_implicit(cfg.beta)
     ny, nx = plan.ny, plan.nx
     ny_l, br0 = plan.ny_l, plan.brs[0]
     h = cfg.h
@@ -132,17 +163,51 @@ def _build_ns_loop(plan: ShardPlan, mesh, axis, cfg: NSConfig):
                 cfg.niters, cfg.tol,
             )
             dt_adv = jnp.asarray(cfg.a_adv, f32) * jnp.minimum(h / ax, h / ay)
-            dt = jnp.minimum(jnp.asarray(cfg.dt_dif, f32), dt_adv)
+            if cfg.beta >= 0.5:
+                dt = dt_adv
+            else:
+                dt = jnp.minimum(jnp.asarray(cfg.dt_dif, f32), dt_adv)
             dt = jnp.where((ax == 0.0) & (ay == 0.0),
                            jnp.asarray(cfg.dt_dif, f32), dt)
             TW = _refresh(TW, ny_l, axis)
             S = _refresh(S_ds[0], ny_l, axis)
-            TW, (_, w_local) = pallas_ns.ns_fused_rp(
-                TW, S, dt, ny_l, nx, br0, h, cfg.Pr, cfg.Ra,
-                k=cfg.k, beta=0.0, mode="explicit", with_sumsq=True,
-                row_off=off0, ny_mask=ny,
-            )
-            w_ss = lax.psum(w_local, axis)
+            if semi:
+                # rhs pass + two warm-started sharded Helmholtz solves
+                # (mirrors _fast_step's semi branch; T gets the BCs)
+                cT = 1.0 / (jnp.asarray(cfg.beta, f32) * dt)
+                cW = cT / jnp.asarray(cfg.Pr, f32)
+                rhs, (trhs_l, wrhs_l) = pallas_ns.ns_fused_rp(
+                    TW, S, dt, ny_l, nx, br0, h, cfg.Pr, cfg.Ra,
+                    k=cfg.k, beta=cfg.beta, mode="rhs", cT=cT, cW=cW,
+                    with_sumsq=True, row_off=off0, ny_mask=ny,
+                )
+                zeros = jnp.zeros_like(TW[0])
+                tolT = jnp.asarray(cfg.tol, f32) * jnp.sqrt(
+                    lax.psum(trhs_l, axis) / n_cells)
+                T_ds = _solve_sharded(
+                    jnp.stack([TW[0], zeros]), rhs[0], tolT, plan, h, cT,
+                    cfg.mg, axis, off0, cfg.niters, cfg.tol, apply_bcs=True,
+                )
+                tolW = jnp.asarray(cfg.tol, f32) * jnp.sqrt(
+                    lax.psum(wrhs_l, axis) / n_cells)
+                W_ds = _solve_sharded(
+                    jnp.stack([TW[1], zeros]), rhs[1], tolW, plan, h, cW,
+                    cfg.mg, axis, off0, cfg.niters, cfg.tol,
+                )
+                TW = jnp.stack([T_ds[0], W_ds[0]])
+                # shard-local W sumsq over VALID physical rows only (the
+                # last shard's rp rows beyond global ny are padding)
+                w = TW[1, PAD : PAD + ny_l, :nx]
+                valid = (off0 + jnp.arange(ny_l)) < ny
+                w = jnp.where(valid[:, None], w, 0.0)
+                w_ss = lax.psum(jnp.sum(w * w), axis)
+            else:
+                TW, (_, w_local) = pallas_ns.ns_fused_rp(
+                    TW, S, dt, ny_l, nx, br0, h, cfg.Pr, cfg.Ra,
+                    k=cfg.k, beta=cfg.beta, mode="explicit", with_sumsq=True,
+                    row_off=off0, ny_mask=ny,
+                )
+                w_ss = lax.psum(w_local, axis)
             th, tl = dsm.ds_add(th, tl, dt, jnp.float32(0.0))
             return TW, S_ds, w_ss, th, tl, step + 1
 
@@ -176,7 +241,7 @@ def simulate_fast_sharded(
     replicate_below: int = 257,
     verbose: bool = False,
 ):
-    """``simulate_fast`` over a device mesh (explicit path).
+    """``simulate_fast`` over a device mesh (all beta tiers).
 
     Same contract as simulate_fast minus snapshots/resume; returns an
     NSResult with gathered global fields.

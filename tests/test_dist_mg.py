@@ -164,3 +164,33 @@ def test_mg_solve_ds_sharded_apply_bcs_matches_single(rng):
         np.testing.assert_allclose(u_d[-1], 0.0, atol=1e-6)
         np.testing.assert_allclose(u_d[:, 0], u_d[:, 1], atol=1e-6)
         np.testing.assert_allclose(u_d[:, -1], u_d[:, -2], atol=1e-6)
+
+
+def test_simulate_fast_sharded_semi_implicit_matches_single(rng):
+    """The sharded SEMI-IMPLICIT fast path (rhs-mode operator kernel + two
+    warm-started sharded Helmholtz solves per step, T with the temperature
+    BCs) vs single-device simulate_fast: same step count, fields agreeing
+    to f32 reduction-order noise over a short window."""
+    import jax.numpy as jnp
+
+    from fpr_tpu.core.config import NSConfig
+    from fpr_tpu.models import dist_ns
+    from fpr_tpu.models.navier_stokes import simulate_fast
+
+    cfg = NSConfig(nx=129, ny=65, ttot=0.1, beta=0.5, Pr=0.01,
+                   tol=1e-7, niters=50)
+    W0 = rng.standard_normal((65, 129)) * 10.0
+    mesh = make_mesh((8,), ("y",))
+    ref = simulate_fast(cfg, W0=W0, max_steps=5)
+    got = dist_ns.simulate_fast_sharded(
+        cfg, mesh, W0=W0, max_steps=5, replicate_below=33
+    )
+    assert got.steps == ref.steps
+    assert abs(got.sim_time - ref.sim_time) < 1e-6
+    scale = np.abs(ref.W).max()
+    assert np.abs(got.W - ref.W).max() / scale < 1e-3
+    assert np.abs(got.T - ref.T).max() < 1e-3
+    # the temperature BCs must hold on the gathered field
+    np.testing.assert_allclose(got.T[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(got.T[-1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(got.T[:, 0], got.T[:, 1], atol=1e-6)
