@@ -603,6 +603,16 @@ def mg_solve_ds_rp(
       exactly-f32 rhs (halves the kernel's f traffic).
     - tolf: absolute tolerance on rms(r) (caller computes tol * rms(f)).
     - c may be a traced f32 scalar (the NS Helmholtz shifts 1/(beta dt)).
+    - CONVERGENCE CAVEAT (measured): with apply_bcs the correction
+      V-cycle smooths the side columns as zero-Dirichlet while the true
+      correction satisfies Neumann there (only the transfers apply the
+      copies), so the contraction degrades to ~0.75/cycle on a cold
+      pure-Poisson BC solve (c=0, tight tol: stagnates at niters on
+      513x257 regardless of coarse solver).  The NS temperature solves —
+      the only apply_bcs consumers — operate with strong Helmholtz
+      shifts (c = 1/(beta*dt)) and warm starts, where convergence is
+      fast; callers wanting tight cold BC solves should use mg_solve
+      (whose per-iteration BC application matches multigrid.jl:60-62).
     - apply_bcs: NS temperature BCs applied to u inside the defect kernel
       each outer iteration (and through the V-cycle transfers), mirroring
       mg_solve_mixed's per-iteration BC application (multigrid.jl:60-62).
