@@ -106,17 +106,14 @@ def cmd_ns(args):
             raise SystemExit("--fast is f32-only; drop --f64 or drop --fast")
         if args.devices > 1:
             # row-sharded production tier (models/dist_ns; all beta
-            # tiers) — no snapshots/resume
-            if state0 is not None or args.snapshot_every or args.save:
-                raise SystemExit("--devices>1 has no snapshot/checkpoint "
-                                 "support; drop --resume/--save/"
-                                 "--snapshot-every")
+            # tiers, same checkpoint schema as single-device --fast)
             from fpr_tpu.models import dist_ns
             from fpr_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh((args.devices,), ("y",))
             out = dist_ns.simulate_fast_sharded(
                 cfg, mesh, verbose=args.verbose, max_steps=args.max_steps,
+                snapshot_steps=args.snapshot_every, state0=state0,
             )
         else:
             out = ns.simulate_fast(

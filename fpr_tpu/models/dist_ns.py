@@ -240,11 +240,16 @@ def simulate_fast_sharded(
     chunk_steps: int = 20_000,
     replicate_below: int = 257,
     verbose: bool = False,
+    snapshot_steps: int = 0,
+    state0: Optional[dict] = None,
 ):
     """``simulate_fast`` over a device mesh (all beta tiers).
 
-    Same contract as simulate_fast minus snapshots/resume; returns an
-    NSResult with gathered global fields.
+    Same contract as simulate_fast, including chunk-synced snapshots and
+    exact resume: the ``state`` payload uses the same global-field schema
+    as the single-device path, so checkpoints interoperate between the
+    tiers (a single-chip run can resume sharded and vice versa — bitwise
+    on the same tier, f32-reduction-noise across tiers).
     """
     from fpr_tpu.models.navier_stokes import (
         NSResult, fast_mg_default, init_field,
@@ -259,58 +264,96 @@ def simulate_fast_sharded(
     nxp = padded_cols(nx)
     f32 = jnp.float32
 
-    key = jax.random.PRNGKey(seed)
-    T = init_field(cfg, cfg.T_init, key=key, dtype=f32) if T0 is None else jnp.asarray(T0, f32)
-    W = init_field(cfg, cfg.W_init, key=key, dtype=f32) if W0 is None else jnp.asarray(W0, f32)
-
     def shard_pack(a):
         pad_rows = ndev * ny_l - ny
         ap = jnp.pad(a, ((0, pad_rows), (0, 0))).reshape(ndev, ny_l, nx)
         return jnp.pad(ap, ((0, 0), (PAD, total - ny_l - PAD), (0, nxp - nx)))
 
     sp = NamedSharding(mesh, P(axis, None, None, None))
+    if state0 is not None:
+        T = jnp.asarray(state0["T"], f32)
+        W = jnp.asarray(state0["W"], f32)
+        S_ds = lax.with_sharding_constraint(
+            jnp.stack([shard_pack(jnp.asarray(state0["S_hi"], f32)),
+                       shard_pack(jnp.asarray(state0["S_lo"], f32))],
+                      axis=1), sp,
+        )
+        w_ss = jnp.asarray(state0["w_sumsq"], f32)
+        th = jnp.asarray(state0["t_hi"], f32)
+        tl = jnp.asarray(state0["t_lo"], f32)
+        step = jnp.asarray(int(state0["step"]), jnp.int32)
+        start_step = int(state0["step"])
+    else:
+        key = jax.random.PRNGKey(seed)
+        T = init_field(cfg, cfg.T_init, key=key, dtype=f32) if T0 is None else jnp.asarray(T0, f32)
+        W = init_field(cfg, cfg.W_init, key=key, dtype=f32) if W0 is None else jnp.asarray(W0, f32)
+        S_ds = lax.with_sharding_constraint(
+            jnp.zeros((ndev, 2, total, nxp), f32), sp
+        )
+        w_ss = jnp.sum(W * W).astype(f32)
+        th = jnp.asarray(0.0, f32)
+        tl = jnp.asarray(0.0, f32)
+        step = jnp.asarray(0, jnp.int32)
+        start_step = 0
     TW = lax.with_sharding_constraint(
         jnp.stack([shard_pack(T), shard_pack(W)], axis=1), sp
     )
-    S_ds = lax.with_sharding_constraint(jnp.zeros_like(TW), sp)
-    w_ss = jnp.sum(W * W).astype(f32)
-    th = jnp.asarray(0.0, f32)
-    tl = jnp.asarray(0.0, f32)
-    step = jnp.asarray(0, jnp.int32)
     hard_cap = jnp.asarray(
         max_steps if max_steps is not None else 1_000_000, jnp.int32
     )
+    if snapshot_steps:
+        chunk_steps = min(chunk_steps, snapshot_steps)
+    snapshots = [] if snapshot_steps else None
+
+    def gather(stack, plane, dtype=np.float64):
+        blocks = stack[:, plane, PAD : PAD + ny_l, :nx]
+        return np.asarray(blocks, dtype).reshape(ndev * ny_l, nx)[:ny]
 
     loop = _build_ns_loop(plan, mesh, axis, cfg)
 
-    # warmup chunk (timing parity with simulate_fast)
-    warm = jnp.minimum(jnp.asarray(3, jnp.int32), hard_cap)
-    TW, S_ds, w_ss, th, tl, step = loop(TW, S_ds, w_ss, th, tl, step, warm)
-    float(th)
+    if start_step == 0:
+        # warmup chunk (timing parity with simulate_fast)
+        warm = jnp.minimum(jnp.asarray(3, jnp.int32), hard_cap)
+        TW, S_ds, w_ss, th, tl, step = loop(TW, S_ds, w_ss, th, tl, step, warm)
+        float(th)
     tic = time.time()
     while True:
         limit = jnp.minimum(step + jnp.asarray(chunk_steps, jnp.int32), hard_cap)
         TW, S_ds, w_ss, th, tl, step = loop(TW, S_ds, w_ss, th, tl, step, limit)
         sim_time = float(th) + float(tl)
-        if sim_time >= cfg.ttot or int(step) >= int(hard_cap):
-            break
-        if int(step) < int(limit):
+        done = sim_time >= cfg.ttot or int(step) >= int(hard_cap)
+        if not done and int(step) < int(limit):
+            done = True  # device loop hit its own ttot test
+        if snapshots is not None:
+            snapshots.append((
+                gather(TW, 0), gather(TW, 1),
+                gather(S_ds, 0) + gather(S_ds, 1),
+                sim_time, int(step),
+            ))
+        if done:
             break
         if verbose:
             print(f"time, steps: {sim_time} {int(step)}")
     t_elapsed = time.time() - tic
     steps = int(step)
 
-    def gather(stack, plane):
-        blocks = stack[:, plane, PAD : PAD + ny_l, :nx]
-        return np.asarray(blocks, np.float64).reshape(ndev * ny_l, nx)[:ny]
-
     S = gather(S_ds, 0) + gather(S_ds, 1)
+    state = dict(
+        T=gather(TW, 0, np.float32),
+        W=gather(TW, 1, np.float32),
+        S_hi=gather(S_ds, 0, np.float32),
+        S_lo=gather(S_ds, 1, np.float32),
+        w_sumsq=np.asarray(w_ss),
+        t_hi=np.asarray(th),
+        t_lo=np.asarray(tl),
+        step=np.asarray(steps),
+    )
     return NSResult(
         T=gather(TW, 0), W=gather(TW, 1), S=S,
         t_elapsed=t_elapsed,
-        timed_iters=max(steps - 3, 0),
+        timed_iters=max(steps - start_step - (3 if start_step == 0 else 0), 0),
         steps=steps,
         sim_time=float(th) + float(tl),
-        snapshots=None,
+        snapshots=snapshots,
+        state=state,
     )

@@ -32,9 +32,6 @@ def test_mg_sharded_ds(capsys):
 def test_ns_fast_guards():
     with pytest.raises(SystemExit, match="f32-only"):
         cli.main(["ns", "--fast", "--f64", "--platform", "cpu"])
-    with pytest.raises(SystemExit, match="no snapshot/checkpoint"):
-        cli.main(["ns", "--fast", "--devices", "2", "--save", "x.npz",
-                  "--platform", "cpu"])
 
 
 def test_ns_fast_smoke(capsys):

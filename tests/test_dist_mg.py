@@ -194,3 +194,42 @@ def test_simulate_fast_sharded_semi_implicit_matches_single(rng):
     np.testing.assert_allclose(got.T[0], 1.0, atol=1e-6)
     np.testing.assert_allclose(got.T[-1], 0.0, atol=1e-6)
     np.testing.assert_allclose(got.T[:, 0], got.T[:, 1], atol=1e-6)
+
+
+def test_simulate_fast_sharded_resume_bitwise(rng):
+    """Sharded checkpoint/resume: M steps + resume(N) == straight N,
+    bitwise, using the same global-field state schema as the single-device
+    tier (checkpoints interoperate)."""
+    import jax.numpy as jnp
+
+    from fpr_tpu.core.config import NSConfig
+    from fpr_tpu.models import dist_ns
+
+    cfg = NSConfig(nx=129, ny=65, ttot=10.0, beta=0.0, Pr=0.01,
+                   tol=1e-7, niters=50)
+    W0 = rng.standard_normal((65, 129)) * 10.0
+    mesh = make_mesh((8,), ("y",))
+    kw = dict(replicate_below=33)
+    full = dist_ns.simulate_fast_sharded(cfg, mesh, W0=W0, max_steps=6, **kw)
+    part = dist_ns.simulate_fast_sharded(cfg, mesh, W0=W0, max_steps=4, **kw)
+    resumed = dist_ns.simulate_fast_sharded(
+        cfg, mesh, max_steps=6, state0=part.state, **kw)
+    assert resumed.steps == full.steps == 6
+    np.testing.assert_array_equal(resumed.T, full.T)
+    np.testing.assert_array_equal(resumed.W, full.W)
+    assert resumed.sim_time == full.sim_time
+
+
+def test_simulate_fast_sharded_snapshots(rng):
+    """Chunk-synced snapshots on the sharded tier."""
+    from fpr_tpu.core.config import NSConfig
+    from fpr_tpu.models import dist_ns
+
+    cfg = NSConfig(nx=129, ny=65, ttot=10.0, beta=0.0, Pr=0.01,
+                   tol=1e-7, niters=50)
+    mesh = make_mesh((8,), ("y",))
+    out = dist_ns.simulate_fast_sharded(
+        cfg, mesh, max_steps=6, snapshot_steps=2, replicate_below=33)
+    assert out.snapshots and len(out.snapshots) >= 2
+    T, W, S, t, s = out.snapshots[-1]
+    assert T.shape == (65, 129) and s == out.steps
