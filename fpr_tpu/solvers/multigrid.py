@@ -611,8 +611,11 @@ def mg_solve_ds_rp(
       513x257 regardless of coarse solver).  The NS temperature solves —
       the only apply_bcs consumers — operate with strong Helmholtz
       shifts (c = 1/(beta*dt)) and warm starts, where convergence is
-      fast; callers wanting tight cold BC solves should use mg_solve
-      (whose per-iteration BC application matches multigrid.jl:60-62).
+      fast.  This is REFERENCE-SEMANTICS behavior, not a ds-tier
+      regression: the jnp-tier mg_solve (per-iteration BC application
+      exactly as multigrid.jl:60-62) stagnates identically on the same
+      cold problem — the BC'd Poisson operator needs a Neumann-aware
+      smoother neither framework has.
     - apply_bcs: NS temperature BCs applied to u inside the defect kernel
       each outer iteration (and through the V-cycle transfers), mirroring
       mg_solve_mixed's per-iteration BC application (multigrid.jl:60-62).
