@@ -292,14 +292,21 @@ def fast_mg_default(cfg: NSConfig) -> NSConfig:
     )
 
 
-def _fast_step(TW, S_ds, w_sumsq, cfg: NSConfig, br):
+def _fast_step(TW, S_ds, w_sumsq, cfg: NSConfig, br, defect=None):
     """One fused NS step on row-padded f32 state.
 
     w_sumsq carries sum(W^2) over the physical domain, accumulated
     in-kernel by the previous step (the S-solve tolerance tol*rms(W) then
     needs no reduction pass); the velocity maxima for the adaptive dt come
     out of the S-solve's defect kernel the same way.
-    Returns (TW', S_ds', w_sumsq', dt).
+
+    defect (explicit path): (r32, r_rms, ax, ay) — the S-solve's initial
+    defect and curl maxima, produced by the PREVIOUS step's fused operator
+    kernel (pallas_ns with_defect), replacing the solve's own initial
+    ds.defect_pass (one whole HBM pass + kernel launch per step).
+
+    Returns (TW', S_ds', w_sumsq', dt) — plus the next step's defect tuple
+    on the explicit path.
     """
     from fpr_tpu.ops import pallas_ns
 
@@ -310,9 +317,16 @@ def _fast_step(TW, S_ds, w_sumsq, cfg: NSConfig, br):
     # 1. streamfunction solve  nabla^2 S = W (part2.jl:187), warm-started;
     # the defect kernel accumulates max|dS/dy|, max|dS/dx| of the final S
     tolf = cfg.tol * jnp.sqrt(w_sumsq / n_cells)
+    solve_kw = {}
+    if defect is not None:
+        r32, r_rms, ax0, ay0 = defect
+        solve_kw = dict(
+            r0=(r32, r_rms), extras0=(ax0, ay0, jnp.asarray(0.0, f32))
+        )
     S_ds, _, _, (ax, ay, _) = mg_solve_ds_rp(
         S_ds, TW[1:2], tolf, ny, nx, h, 0.0, cfg.niters,
         cfg=cfg.mg, inner_cycles=1, tol=cfg.tol, velocity_max=True,
+        **solve_kw,
     )
 
     # 2.-3. adaptive dt (part2.jl:76-87, on device)
@@ -353,10 +367,14 @@ def _fast_step(TW, S_ds, w_sumsq, cfg: NSConfig, br):
         w = TW[1, PAD : PAD + ny, :nx]
         w_sumsq = jnp.sum(w * w)
     else:
-        TW, (_, w_sumsq) = pallas_ns.ns_fused_rp(
-            TW, S_ds[0], dt, ny, nx, br, h, cfg.Pr, cfg.Ra,
-            k=cfg.k, beta=cfg.beta, mode="explicit", with_sumsq=True,
+        # the operator kernel also emits the NEXT step's S-solve inputs
+        # (initial ds defect of S against the new W + curl maxima of S):
+        # the warm solve above then skips its own initial defect pass
+        TW, (_, w_sumsq), r0n, ex0n = pallas_ns.ns_fused_rp(
+            TW, S_ds, dt, ny, nx, br, h, cfg.Pr, cfg.Ra,
+            k=cfg.k, beta=cfg.beta, mode="explicit", with_defect=True,
         )
+        return TW, S_ds, w_sumsq, dt, (r0n[0], r0n[1], ex0n[0], ex0n[1])
     return TW, S_ds, w_sumsq, dt
 
 
@@ -370,17 +388,43 @@ def _fast_loop(TW, S_ds, w_ss, th, tl, step, limit, cfg: NSConfig, br):
     tt_hi, tt_lo = f32_pair(cfg.ttot)
 
     def cond(carry):
-        _, _, _, th, tl, step = carry
+        th, tl, step = carry[-3:]
         dh, dl = dsm.ds_add(th, tl, jnp.float32(-tt_hi), jnp.float32(-tt_lo))
         return (dh < 0.0) & (step < limit)
 
-    def body(carry):
-        TW, S_ds, w_ss, th, tl, step = carry
-        TW, S_ds, w_ss, dt = _fast_step(TW, S_ds, w_ss, cfg, br)
-        th, tl = dsm.ds_add(th, tl, dt, jnp.float32(0.0))
-        return TW, S_ds, w_ss, th, tl, step + 1
+    if _semi_implicit(cfg.beta):
+        def body(carry):
+            TW, S_ds, w_ss, th, tl, step = carry
+            TW, S_ds, w_ss, dt = _fast_step(TW, S_ds, w_ss, cfg, br)
+            th, tl = dsm.ds_add(th, tl, dt, jnp.float32(0.0))
+            return TW, S_ds, w_ss, th, tl, step + 1
 
-    return jax.lax.while_loop(cond, body, (TW, S_ds, w_ss, th, tl, step))
+        return jax.lax.while_loop(cond, body, (TW, S_ds, w_ss, th, tl, step))
+
+    # explicit: every step's operator kernel already emits the next step's
+    # initial S defect + curl maxima; carry them so the warm S solve never
+    # pays a standalone initial defect pass.  The preamble pass here runs
+    # once per chunk entry (identical arithmetic to the in-solve initial
+    # pass, so chunked/resumed runs stay bitwise-equal to uninterrupted
+    # ones).
+    S_ds, r32, r_rms, ex = dsm.defect_pass(
+        S_ds, TW[1:2], jnp.zeros_like(TW[0]), 0.0, cfg.ny, cfg.nx, br,
+        cfg.h, 0.0, velocity_max=True,
+    )
+    dfc = (r32, r_rms, ex[0], ex[1])
+
+    def body(carry):
+        TW, S_ds, dfc, w_ss, th, tl, step = carry
+        TW, S_ds, w_ss, dt, dfc = _fast_step(
+            TW, S_ds, w_ss, cfg, br, defect=dfc
+        )
+        th, tl = dsm.ds_add(th, tl, dt, jnp.float32(0.0))
+        return TW, S_ds, dfc, w_ss, th, tl, step + 1
+
+    TW, S_ds, _, w_ss, th, tl, step = jax.lax.while_loop(
+        cond, body, (TW, S_ds, dfc, w_ss, th, tl, step)
+    )
+    return TW, S_ds, w_ss, th, tl, step
 
 
 def simulate_fast(

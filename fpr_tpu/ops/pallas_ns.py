@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fpr_tpu.ops.ds import ds_add, two_sum
 from fpr_tpu.ops.pallas2d import (
     PAD,
     _im32,
@@ -55,18 +56,32 @@ from fpr_tpu.ops.pallas2d import (
 
 
 def _ns_kernel(
-    scal_ref, tw_hbm, s_hbm, out_hbm, acc_ref,
-    twslabs, sslabs, results, sem_tw, sem_s, sem_out,
-    *, BR, ny, nx, nxp, h, Pr, Ra, k, beta, mode,
+    scal_ref, tw_hbm, s_hbm, out_hbm, *refs,
+    BR, ny, nx, nxp, h, Pr, Ra, k, beta, mode, with_defect=False,
 ):
     """One grid step on a BR-row block (halo-1 window of E rows).
 
     scal_ref (SMEM, (4,1)): [dt, cT, cW, row_off] runtime scalars
     (row_off = the shard's global row offset, 0 single-device).
     tw_hbm: (2, total, nxp) stacked T (plane 0) / W (plane 1).
-    s_hbm:  (total, nxp) streamfunction.
+    s_hbm:  (total, nxp) streamfunction — or the (2, total, nxp) ds hi/lo
+    pair when with_defect.
     out_hbm: (2, total, nxp) stacked outputs (T'/W' or T_rhs/W_rhs).
+
+    with_defect (explicit mode only): additionally emit the NEXT step's
+    streamfunction-solve inputs, fusing what would otherwise be a whole
+    extra HBM pass (ds.defect_pass with scale=0): r32 = A S - W' in ds
+    residual arithmetic (bit-for-formula identical to ds._defect_kernel),
+    its sum of squares, and the adaptive-dt curl maxima max|dS/dy|,
+    max|dS/dx| of the CURRENT (just-converged) S — exactly the extras the
+    initial defect pass of the next step's warm solve would produce.
     """
+    if with_defect:
+        (r32_hbm, acc_ref, twslabs, sslabs, results, rres,
+         sem_tw, sem_s, sem_out, sem_r) = refs
+    else:
+        (acc_ref, twslabs, sslabs, results,
+         sem_tw, sem_s, sem_out) = refs
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
@@ -84,14 +99,22 @@ def _ns_kernel(
 
     def copy_s(block, s):
         block, s = _i32(block), _i32(s)
-        return pltpu.make_async_copy(
-            s_hbm.at[pl.ds(block * BR, E), :], sslabs.at[s], sem_s.at[s]
-        )
+        if with_defect:
+            src = s_hbm.at[:, pl.ds(block * BR, E), :]
+        else:
+            src = s_hbm.at[pl.ds(block * BR, E), :]
+        return pltpu.make_async_copy(src, sslabs.at[s], sem_s.at[s])
 
     def copy_out(block, s):
         block, s = _i32(block), _i32(s)
         return pltpu.make_async_copy(
             results.at[s], out_hbm.at[:, pl.ds(block * BR + PAD, BR), :], sem_out.at[s]
+        )
+
+    def copy_r(block, s):
+        block, s = _i32(block), _i32(s)
+        return pltpu.make_async_copy(
+            rres.at[s], r32_hbm.at[pl.ds(block * BR + PAD, BR), :], sem_r.at[s]
         )
 
     @pl.when(i == 0)
@@ -110,10 +133,12 @@ def _ns_kernel(
     @pl.when(i >= 2)
     def _():
         copy_out(i - 2, slot).wait()
+        if with_defect:
+            copy_r(i - 2, slot).wait()
 
     T = twslabs[slot, 0, :, :]
     W = twslabs[slot, 1, :, :]
-    S = sslabs[slot, :, :]
+    S = sslabs[slot, 0, :, :] if with_defect else sslabs[slot, :, :]
     dtype = T.dtype
     dt = scal_ref[0, 0]
     off = scal_ref[3, 0].astype(jnp.int32)
@@ -214,23 +239,62 @@ def _ns_kernel(
     def _():
         acc_ref[0, 0] = jnp.asarray(0.0, dtype)
         acc_ref[1, 0] = jnp.asarray(0.0, dtype)
+        if with_defect:
+            acc_ref[2, 0] = jnp.asarray(0.0, dtype)
+            acc_ref[3, 0] = jnp.asarray(0.0, dtype)
+            acc_ref[4, 0] = jnp.asarray(0.0, dtype)
 
     acc_ref[0, 0] += jnp.sum(T_blk * T_blk)
     acc_ref[1, 0] += jnp.sum(W_blk * W_blk)
+
+    if with_defect:
+        # ds residual of the (unchanged) streamfunction against the NEW
+        # vorticity: r = A S - W', the initial defect of the next step's
+        # warm S solve (ds._defect_kernel with scale=0, c=0, f_single,
+        # formula for formula — see that kernel for the EFT derivation)
+        Sl = sslabs[slot, 1, :, :]
+        s1, e1 = two_sum(sh_up(S), sh_dn(S))
+        s2, e2 = two_sum(sh_lf(S), sh_rt(S))
+        sh_, e3 = two_sum(s1, s2)
+        sl_ = ((e1 + e2) + e3) + (
+            (sh_up(Sl) + sh_dn(Sl)) + (sh_lf(Sl) + sh_rt(Sl))
+        )
+        th, tl = ds_add(sh_, sl_, -(S * 4.0), -(Sl * 4.0))
+        ih2 = jnp.asarray(1.0 / (h * h), dtype)  # exact power of two
+        th, tl = th * ih2, tl * ih2
+        rs, re = two_sum(th[blk, :], -W_blk)
+        r = rs + (re + tl[blk, :])
+        r = jnp.where(interior[blk, :], r, zero)
+        rres[slot, :, :] = r
+        acc_ref[2, 0] += jnp.sum(r * r)
+        # adaptive-dt curl maxima of S (the extras the initial defect pass
+        # would return); vy's sign differs from the defect kernel's but
+        # only |.| is consumed
+        vxa = jnp.where(interior[blk, :], jnp.abs(vx[blk, :]), zero)
+        vya = jnp.where(interior[blk, :], jnp.abs(vy[blk, :]), zero)
+        acc_ref[3, 0] = jnp.maximum(acc_ref[3, 0], jnp.max(vxa))
+        acc_ref[4, 0] = jnp.maximum(acc_ref[4, 0], jnp.max(vya))
+
     copy_out(i, slot).start()
+    if with_defect:
+        copy_r(i, slot).start()
 
     @pl.when(i == n_blocks - 1)
     def _():
         @pl.when(n_blocks >= 2)
         def _():
             copy_out(i - 1, nslot).wait()
+            if with_defect:
+                copy_r(i - 1, nslot).wait()
 
         copy_out(i, slot).wait()
+        if with_defect:
+            copy_r(i, slot).wait()
 
 
 @functools.lru_cache(maxsize=128)
 def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret,
-              ny_mask=None):
+              ny_mask=None, with_defect=False):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, layout_br)
     nxp = padded_cols(nx)
@@ -241,41 +305,64 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
     BR = layout_br // 2 if layout_br >= 32 else layout_br
     n_blocks = (total - 2 * PAD) // BR
     assert n_blocks * BR == total - 2 * PAD, (total, layout_br, BR)
+    if with_defect:
+        assert mode == "explicit", "fused defect is explicit-path only"
+        from fpr_tpu.ops.ds import _is_pow2
+
+        assert _is_pow2(1.0 / (h * h)), f"1/h^2 = {1.0/(h*h)} must be 2^k"
     kernel = functools.partial(
         _ns_kernel,
         BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
-        h=h, Pr=Pr, Ra=Ra, k=k, beta=beta, mode=mode,
+        h=h, Pr=Pr, Ra=Ra, k=k, beta=beta, mode=mode, with_defect=with_defect,
     )
     word = dtype.itemsize
+    E = BR + 2 * PAD
+    n_acc = 5 if with_defect else 2
+    s_spec = (
+        pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY)
+        if with_defect
+        else pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY)
+    )
+    r_out = (
+        [pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY)],
+        [jax.ShapeDtypeStruct((total, nxp), dtype)],
+    ) if with_defect else ([], [])
+    s_slab = (2, 2, E, nxp) if with_defect else (2, E, nxp)
+    r_scratch = [pltpu.VMEM((2, BR, nxp), dtype)] if with_defect else []
+    r_sem = [pltpu.SemaphoreType.DMA((2,))] if with_defect else []
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
-            pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
+            s_spec,
         ],
         out_specs=[
             pl.BlockSpec(
                 (2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY
             ),
-            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            *r_out[0],
+            pl.BlockSpec((n_acc, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, total, nxp), dtype),
-            jax.ShapeDtypeStruct((2, 1), dtype),
+            *r_out[1],
+            jax.ShapeDtypeStruct((n_acc, 1), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, BR + 2 * PAD, nxp), dtype),
-            pltpu.VMEM((2, BR + 2 * PAD, nxp), dtype),
+            pltpu.VMEM((2, 2, E, nxp), dtype),
+            pltpu.VMEM(s_slab, dtype),
             pltpu.VMEM((2, 2, BR, nxp), dtype),
+            *r_scratch,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            *r_sem,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=60 * ny * nx,
-            bytes_accessed=5 * word * ny * nx,
+            flops=(90 if with_defect else 60) * ny * nx,
+            bytes_accessed=(7 if with_defect else 5) * word * ny * nx,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -287,7 +374,7 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
 
 def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
                 mode="explicit", cT=None, cW=None, with_sumsq=False,
-                row_off=0, ny_mask=None):
+                row_off=0, ny_mask=None, with_defect=False):
     """Fused NS operator pass on row-padded operands.
 
     tw_rp: (2, total, nxp) stacked T/W; s_rp: (total, nxp) streamfunction.
@@ -296,12 +383,21 @@ def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
     rhs mode.  with_sumsq=True additionally returns the two output fields'
     sums of squares (SMEM-accumulated — the multigrid tolerances
     tol*rms(field) then need no separate reduction pass).
+
+    with_defect=True (explicit only): s_rp must be the FULL (2, total,
+    nxp) ds streamfunction pair; additionally returns the next step's
+    warm-S-solve inputs, replacing its initial ds.defect_pass HBM pass:
+    (out, (t_ss, w_ss), r0, extras0) with r0 = (r32_rp, r_rms of A S - W')
+    and extras0 = (max|vx|, max|vy|, 0.0) of the current S — feed to
+    mg_solve_ds_rp(r0=..., extras0=...).
     """
     dtype = tw_rp.dtype
+    if with_defect and s_rp.ndim != 3:
+        raise ValueError("with_defect needs the (2, total, nxp) ds S pair")
     call = _build_ns(
         ny, nx, jnp.dtype(dtype).name, br,
         float(h), float(Pr), float(Ra), float(k), float(beta), mode,
-        not _on_tpu(), ny_mask=ny_mask,
+        not _on_tpu(), ny_mask=ny_mask, with_defect=with_defect,
     )
     z = jnp.asarray(0.0, dtype)
     scal = jnp.stack([
@@ -310,6 +406,16 @@ def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
         z if cW is None else jnp.asarray(cW, dtype),
         jnp.asarray(row_off, dtype),
     ]).reshape(4, 1)
+    if with_defect:
+        out, r32, acc = call(scal, tw_rp, s_rp)
+        n = ny_mask if ny_mask is not None else ny
+        r_rms = jnp.sqrt(acc[2, 0] / (nx * n))
+        return (
+            out,
+            (acc[0, 0], acc[1, 0]),
+            (r32, r_rms),
+            (acc[3, 0], acc[4, 0], jnp.asarray(0.0, dtype)),
+        )
     out, acc = call(scal, tw_rp, s_rp)
     if with_sumsq:
         return out, (acc[0, 0], acc[1, 0])

@@ -592,6 +592,7 @@ def mg_solve_ds_rp(
     velocity_max: bool = False,
     field_sumsq: bool = False,
     fmg: bool = False,
+    extras0=None,
 ):
     """Row-padded core of the double-single defect-correction solver.
 
@@ -620,8 +621,11 @@ def mg_solve_ds_rp(
       each outer iteration (and through the V-cycle transfers), mirroring
       mg_solve_mixed's per-iteration BC application (multigrid.jl:60-62).
     - r0: optionally, a precomputed initial defect (r32_rp, r_rms) — e.g.
-      -f for a zero guess without BCs (incompatible with the extras flags,
-      which need every pass to run through the kernel).
+      -f for a zero guess without BCs.  With the extras flags set, r0
+      requires extras0 = the (max_vx, max_vy, sumsq) describing u_ds (the
+      values the skipped initial defect pass would have produced — the NS
+      fast loop gets them from the fused operator kernel,
+      pallas_ns.ns_fused_rp(with_defect=True)).
     - velocity_max / field_sumsq: accumulate max|curl u'| components and
       sumsq(u'_hi) inside the defect kernel; the LAST pass's values
       describe the returned iterate.  The NS fast loop consumes these in
@@ -652,8 +656,11 @@ def mg_solve_ds_rp(
     f_single = f_ds.shape[0] == 1
     tolf = jnp.asarray(tolf, jnp.float32)
     extras_on = velocity_max or field_sumsq
-    if extras_on and r0 is not None:
-        raise ValueError("extras flags need the initial defect pass (r0=None)")
+    if extras_on and r0 is not None and extras0 is None:
+        raise ValueError(
+            "extras flags with r0 need extras0 (the skipped initial "
+            "defect pass's values)"
+        )
     kw = dict(apply_bcs=apply_bcs, f_single=f_single,
               velocity_max=velocity_max, field_sumsq=field_sumsq)
 
@@ -662,7 +669,7 @@ def mg_solve_ds_rp(
         u_ds = jnp.zeros((2, total, nxp), jnp.float32)
     if r0 is not None:
         r32, r_rms = r0
-        extras = ()
+        extras = tuple(extras0) if extras_on else ()
     else:
         # initial defect (scale = 0: the Dekker product with 0 is exactly 0)
         out = dsm.defect_pass(u_ds, f_ds, zero_e, 0.0, ny, nx, br, h, c, **kw)

@@ -102,3 +102,50 @@ def test_fused_f32_runs(rng):
         np.asarray(pallas2d.unpad2d(out[0], ny, nx)), np.asarray(T_ref),
         rtol=2e-4, atol=2e-3,
     )
+
+
+def test_with_defect_matches_separate_passes(rng):
+    """with_defect must equal the separate operator + ds.defect_pass pair
+    bitwise on the physical domain: same T'/W', same r32 = A S - W' (ds
+    residual arithmetic), same r_rms and curl-maxima extras.  This is the
+    contract the explicit fast loop relies on (the operator kernel of step
+    n produces step n+1's warm-S-solve inputs)."""
+    from fpr_tpu.ops import ds as dsm
+
+    ny, nx = 65, 257
+    h = 1.0 / (ny - 1)
+    f32 = jnp.float32
+    br = pallas2d._pick_br(ny, nx, 4)
+    T = jnp.asarray(rng.standard_normal((ny, nx)), f32)
+    W = jnp.asarray(rng.standard_normal((ny, nx)), f32)
+    Sh = jnp.asarray(rng.standard_normal((ny, nx)), f32)
+    Sl = jnp.asarray(rng.standard_normal((ny, nx)) * 1e-8, f32)
+    TW = jnp.stack([pallas2d.pad2d(T, br), pallas2d.pad2d(W, br)])
+    S_ds = jnp.stack([pallas2d.pad2d(Sh, br), pallas2d.pad2d(Sl, br)])
+    dt = jnp.asarray(1e-4, f32)
+
+    out_ref, (tss_ref, wss_ref) = pallas_ns.ns_fused_rp(
+        TW, S_ds[0], dt, ny, nx, br, h, 0.01, 1e6,
+        mode="explicit", with_sumsq=True,
+    )
+    _, r32_ref, rrms_ref, ex_ref = dsm.defect_pass(
+        S_ds, out_ref[1:2], jnp.zeros_like(TW[0]), 0.0, ny, nx, br, h, 0.0,
+        velocity_max=True,
+    )
+
+    out_f, (tss_f, wss_f), (r32_f, rrms_f), ex_f = pallas_ns.ns_fused_rp(
+        TW, S_ds, dt, ny, nx, br, h, 0.01, 1e6,
+        mode="explicit", with_defect=True,
+    )
+
+    PAD = pallas2d.PAD
+    phys = np.s_[PAD : PAD + ny, :nx]
+    assert np.array_equal(
+        np.asarray(out_ref[:, *phys]), np.asarray(out_f[:, *phys])
+    )
+    assert float(tss_ref) == float(tss_f)
+    assert float(wss_ref) == float(wss_f)
+    assert np.array_equal(np.asarray(r32_ref[phys]), np.asarray(r32_f[phys]))
+    assert float(rrms_ref) == float(rrms_f)
+    assert float(ex_ref[0]) == float(ex_f[0])
+    assert float(ex_ref[1]) == float(ex_f[1])
