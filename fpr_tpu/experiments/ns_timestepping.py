@@ -38,7 +38,7 @@ def main():
         help="truncate the fast tier's MG ladder at COARSE (= 2^l+1) and "
         "solve that subtree exactly with the DST matmul solver — fewer "
         "sequential levels per V-cycle (the dominant per-step latency). "
-        "NOTE: DST-129 is now the fast tier's DEFAULT at production sizes "
+        "NOTE: DST-257 is now the fast tier's DEFAULT at production sizes "
         "(navier_stokes.fast_mg_default); this flag overrides it")
     ap.add_argument("--reps", type=int, default=None,
                     help="timed repetitions (median + iqr recorded). "

@@ -271,14 +271,18 @@ def fast_mg_default(cfg: NSConfig) -> NSConfig:
     """Production MG ladder for the f32 fast path (measured, v5e).
 
     A default ``MGConfig()`` is upgraded to the DST-truncated ladder with
-    coarse_size 129: the small-level subtree below 129 rows is pure
+    coarse_size 257: the small-level subtree below the coarse size is pure
     sequential dispatch latency (~30-50 ops/V-cycle), and replacing it
     with one exact MXU sine-transform solve measured 26-40% faster
-    end-to-end (2049x513: explicit Pr=0.01 10.26 -> 6.13 s with EXACT
-    step parity; semi Pr=1.0 beta=0.5 6.28 -> 4.67 s, same-session A/B).
-    Truncation size matters: coarse 513 on this anisotropic grid leaves
-    (513, 129)-scale DST matmuls per cycle and measured ~50% SLOWER —
-    see the fast_dst513 rows in benchmark-results/ns_fullscale.csv.
+    end-to-end than the full ladder (2049x513: explicit Pr=0.01
+    10.26 -> 6.13 s with EXACT step parity; semi Pr=1.0 beta=0.5
+    6.28 -> 4.67 s, same-session A/B at coarse 129).  Among truncation
+    sizes, 257 beats 129 on both paths (explicit 5.38 -> 5.30 s with the
+    fused-defect kernel, semi 4.64 -> 4.26 s, same-session A/B) — one
+    more subtree level traded for a still-small (257, 129) DST — while
+    coarse 513 on this anisotropic grid leaves (513, 129)-scale DST
+    matmuls per cycle and measured ~50% SLOWER — see the fast_dst513
+    rows in benchmark-results/ns_fullscale.csv.
     An explicitly provided cfg.mg always wins, and grids with
     min(ny, nx) <= 129 are left alone (the subtree is the whole solve
     there, and the sharded path could no longer decompose it).
@@ -288,7 +292,7 @@ def fast_mg_default(cfg: NSConfig) -> NSConfig:
     if cfg.mg != MGConfig() or min(cfg.ny, cfg.nx) <= 129:
         return cfg
     return dataclasses.replace(
-        cfg, mg=MGConfig(coarse_size=129, coarse_solver=CoarseSolver.DST)
+        cfg, mg=MGConfig(coarse_size=257, coarse_solver=CoarseSolver.DST)
     )
 
 

@@ -209,14 +209,14 @@ def test_simulate_fast_snapshots():
 
 
 def test_fast_mg_default_upgrade_rules():
-    """The f32 fast path upgrades a default MGConfig() to the DST-129
+    """The f32 fast path upgrades a default MGConfig() to the DST-257
     ladder at production sizes only; explicit configs and small grids
     are never touched (measured rationale in fast_mg_default's doc)."""
     from fpr_tpu.core.config import CoarseSolver, MGConfig, NSConfig
     from fpr_tpu.models.navier_stokes import fast_mg_default
 
     up = fast_mg_default(NSConfig(nx=2049, ny=513))
-    assert up.mg.coarse_size == 129
+    assert up.mg.coarse_size == 257
     assert up.mg.coarse_solver is CoarseSolver.DST
 
     small = NSConfig(nx=257, ny=65)
