@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fpr_tpu.ops.ds import ds_add, two_sum
+from fpr_tpu.ops.ds import ds_add, ds_mul_ds, quick_two_sum, two_prod, two_sum
 from fpr_tpu.ops.pallas2d import (
     PAD,
     _im32,
@@ -58,11 +58,14 @@ from fpr_tpu.ops.pallas2d import (
 def _ns_kernel(
     scal_ref, tw_hbm, s_hbm, out_hbm, *refs,
     BR, ny, nx, nxp, h, Pr, Ra, k, beta, mode, with_defect=False,
+    with_helm_defect=False,
 ):
     """One grid step on a BR-row block (halo-1 window of E rows).
 
-    scal_ref (SMEM, (4,1)): [dt, cT, cW, row_off] runtime scalars
-    (row_off = the shard's global row offset, 0 single-device).
+    scal_ref (SMEM, (8,1)): [dt, cT, cW, row_off, CT_hi, CT_lo, CW_hi,
+    CW_lo] runtime scalars (row_off = the shard's global row offset, 0
+    single-device; the C pairs are the ds splits of 4 + c h^2, used only
+    when with_helm_defect).
     tw_hbm: (2, total, nxp) stacked T (plane 0) / W (plane 1).
     s_hbm:  (total, nxp) streamfunction — or the (2, total, nxp) ds hi/lo
     pair when with_defect.
@@ -75,8 +78,16 @@ def _ns_kernel(
     its sum of squares, and the adaptive-dt curl maxima max|dS/dy|,
     max|dS/dx| of the CURRENT (just-converged) S — exactly the extras the
     initial defect pass of the next step's warm solve would produce.
+
+    with_helm_defect (rhs mode only): additionally emit the two Helmholtz
+    solves' warm-start inputs, fusing their initial ds.defect_pass HBM
+    passes: rT = A_cT T - T_rhs and rW = A_cW W - W_rhs in ds residual
+    arithmetic, evaluated on the warm starts (T, 0) / (W, 0) — T with the
+    kernel's BC application, exactly what the skipped initial pass
+    (apply_bcs=True, lo plane zero) would have produced — plus their sums
+    of squares.
     """
-    if with_defect:
+    if with_defect or with_helm_defect:
         (r32_hbm, acc_ref, twslabs, sslabs, results, rres,
          sem_tw, sem_s, sem_out, sem_r) = refs
     else:
@@ -113,9 +124,11 @@ def _ns_kernel(
 
     def copy_r(block, s):
         block, s = _i32(block), _i32(s)
-        return pltpu.make_async_copy(
-            rres.at[s], r32_hbm.at[pl.ds(block * BR + PAD, BR), :], sem_r.at[s]
-        )
+        if with_helm_defect:
+            dst = r32_hbm.at[:, pl.ds(block * BR + PAD, BR), :]
+        else:
+            dst = r32_hbm.at[pl.ds(block * BR + PAD, BR), :]
+        return pltpu.make_async_copy(rres.at[s], dst, sem_r.at[s])
 
     @pl.when(i == 0)
     def _():
@@ -133,7 +146,7 @@ def _ns_kernel(
     @pl.when(i >= 2)
     def _():
         copy_out(i - 2, slot).wait()
-        if with_defect:
+        if with_defect or with_helm_defect:
             copy_r(i - 2, slot).wait()
 
     T = twslabs[slot, 0, :, :]
@@ -243,9 +256,44 @@ def _ns_kernel(
             acc_ref[2, 0] = jnp.asarray(0.0, dtype)
             acc_ref[3, 0] = jnp.asarray(0.0, dtype)
             acc_ref[4, 0] = jnp.asarray(0.0, dtype)
+        if with_helm_defect:
+            acc_ref[2, 0] = jnp.asarray(0.0, dtype)
+            acc_ref[3, 0] = jnp.asarray(0.0, dtype)
 
     acc_ref[0, 0] += jnp.sum(T_blk * T_blk)
     acc_ref[1, 0] += jnp.sum(W_blk * W_blk)
+
+    if with_helm_defect:
+        # ds initial defects of the two Helmholtz solves' warm starts:
+        # r = A_c (X, 0) - rhs with X the CURRENT field (T after the
+        # kernel's BC application == the skipped initial pass's
+        # apply_bcs result; W raw) and rhs the block just computed —
+        # formula for formula the ds._defect_kernel arithmetic with a
+        # zero lo plane, c != 0 (ds_mul_ds against the SMEM C pair) and
+        # an exactly-f32 rhs (f_single).
+        ih2 = jnp.asarray(1.0 / (h * h), dtype)  # exact power of two
+        zeroE = jnp.zeros_like(T)
+
+        def helm_defect(X, C_hi, C_lo, rhs_blk):
+            s1, e1 = two_sum(sh_up(X), sh_dn(X))
+            s2, e2 = two_sum(sh_lf(X), sh_rt(X))
+            sh_, e3 = two_sum(s1, s2)
+            sl_ = ((e1 + e2) + e3) + (
+                (sh_up(zeroE) + sh_dn(zeroE)) + (sh_lf(zeroE) + sh_rt(zeroE))
+            )
+            cuh, cul = ds_mul_ds(X, zeroE, C_hi, C_lo)
+            th, tl = ds_add(sh_, sl_, -cuh, -cul)
+            th, tl = th * ih2, tl * ih2
+            rs, re = two_sum(th[blk, :], -rhs_blk)
+            r = rs + (re + tl[blk, :])
+            return jnp.where(interior[blk, :], r, zero)
+
+        rT = helm_defect(T, scal_ref[4, 0], scal_ref[5, 0], T_blk)
+        rW = helm_defect(W, scal_ref[6, 0], scal_ref[7, 0], W_blk)
+        rres[slot, 0, :, :] = rT
+        rres[slot, 1, :, :] = rW
+        acc_ref[2, 0] += jnp.sum(rT * rT)
+        acc_ref[3, 0] += jnp.sum(rW * rW)
 
     if with_defect:
         # ds residual of the (unchanged) streamfunction against the NEW
@@ -276,7 +324,7 @@ def _ns_kernel(
         acc_ref[4, 0] = jnp.maximum(acc_ref[4, 0], jnp.max(vya))
 
     copy_out(i, slot).start()
-    if with_defect:
+    if with_defect or with_helm_defect:
         copy_r(i, slot).start()
 
     @pl.when(i == n_blocks - 1)
@@ -284,17 +332,17 @@ def _ns_kernel(
         @pl.when(n_blocks >= 2)
         def _():
             copy_out(i - 1, nslot).wait()
-            if with_defect:
+            if with_defect or with_helm_defect:
                 copy_r(i - 1, nslot).wait()
 
         copy_out(i, slot).wait()
-        if with_defect:
+        if with_defect or with_helm_defect:
             copy_r(i, slot).wait()
 
 
 @functools.lru_cache(maxsize=128)
 def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret,
-              ny_mask=None, with_defect=False):
+              ny_mask=None, with_defect=False, with_helm_defect=False):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, layout_br)
     nxp = padded_cols(nx)
@@ -305,8 +353,12 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
     BR = layout_br // 2 if layout_br >= 32 else layout_br
     n_blocks = (total - 2 * PAD) // BR
     assert n_blocks * BR == total - 2 * PAD, (total, layout_br, BR)
-    if with_defect:
-        assert mode == "explicit", "fused defect is explicit-path only"
+    any_defect = with_defect or with_helm_defect
+    if any_defect:
+        assert not (with_defect and with_helm_defect)
+        assert mode == ("explicit" if with_defect else "rhs"), (
+            "with_defect is explicit-path only; with_helm_defect rhs-only"
+        )
         from fpr_tpu.ops.ds import _is_pow2
 
         assert _is_pow2(1.0 / (h * h)), f"1/h^2 = {1.0/(h*h)} must be 2^k"
@@ -314,27 +366,31 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
         _ns_kernel,
         BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
         h=h, Pr=Pr, Ra=Ra, k=k, beta=beta, mode=mode, with_defect=with_defect,
+        with_helm_defect=with_helm_defect,
     )
     word = dtype.itemsize
     E = BR + 2 * PAD
-    n_acc = 5 if with_defect else 2
+    n_acc = 5 if with_defect else (4 if with_helm_defect else 2)
     s_spec = (
         pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY)
         if with_defect
         else pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY)
     )
+    r_shape = (2, total, nxp) if with_helm_defect else (total, nxp)
+    r_im = (lambda i: _im32(0, 0, 0)) if with_helm_defect else (lambda i: _im32(0, 0))
     r_out = (
-        [pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY)],
-        [jax.ShapeDtypeStruct((total, nxp), dtype)],
-    ) if with_defect else ([], [])
+        [pl.BlockSpec(r_shape, r_im, memory_space=pl.ANY)],
+        [jax.ShapeDtypeStruct(r_shape, dtype)],
+    ) if any_defect else ([], [])
     s_slab = (2, 2, E, nxp) if with_defect else (2, E, nxp)
-    r_scratch = [pltpu.VMEM((2, BR, nxp), dtype)] if with_defect else []
-    r_sem = [pltpu.SemaphoreType.DMA((2,))] if with_defect else []
+    r_slab = (2, 2, BR, nxp) if with_helm_defect else (2, BR, nxp)
+    r_scratch = [pltpu.VMEM(r_slab, dtype)] if any_defect else []
+    r_sem = [pltpu.SemaphoreType.DMA((2,))] if any_defect else []
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             s_spec,
         ],
@@ -361,8 +417,8 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
             *r_sem,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(90 if with_defect else 60) * ny * nx,
-            bytes_accessed=(7 if with_defect else 5) * word * ny * nx,
+            flops=(90 if any_defect else 60) * ny * nx,
+            bytes_accessed=(7 if any_defect else 5) * word * ny * nx,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -374,7 +430,8 @@ def _build_ns(ny, nx, dtype_name, layout_br, h, Pr, Ra, k, beta, mode, interpret
 
 def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
                 mode="explicit", cT=None, cW=None, with_sumsq=False,
-                row_off=0, ny_mask=None, with_defect=False):
+                row_off=0, ny_mask=None, with_defect=False,
+                with_helm_defect=False):
     """Fused NS operator pass on row-padded operands.
 
     tw_rp: (2, total, nxp) stacked T/W; s_rp: (total, nxp) streamfunction.
@@ -390,31 +447,70 @@ def ns_fused_rp(tw_rp, s_rp, dt, ny, nx, br, h, Pr, Ra, k=1.0, beta=0.0,
     (out, (t_ss, w_ss), r0, extras0) with r0 = (r32_rp, r_rms of A S - W')
     and extras0 = (max|vx|, max|vy|, 0.0) of the current S — feed to
     mg_solve_ds_rp(r0=..., extras0=...).
+
+    with_helm_defect=True (rhs only): additionally returns the two
+    Helmholtz solves' warm-start inputs, replacing their initial
+    ds.defect_pass HBM passes: (out, (trhs_ss, wrhs_ss), r0T, r0W) with
+    r0X = (r32_rp, r_rms) of A_cX X - X_rhs evaluated on the warm start
+    (X, 0) — feed each to its mg_solve_ds_rp(r0=...).  NOTE: the fast
+    loop does NOT use this mode — a same-session A/B measured it ~3%
+    slower end-to-end than the two separate defect passes (the extra
+    in-kernel ds EFT work on every rhs pass outweighs the saved
+    bandwidth; see CLAUDE.md).  Kept as a tested capability.
     """
     dtype = tw_rp.dtype
     if with_defect and s_rp.ndim != 3:
         raise ValueError("with_defect needs the (2, total, nxp) ds S pair")
+    if with_helm_defect and (cT is None or cW is None):
+        raise ValueError("with_helm_defect needs cT and cW")
     call = _build_ns(
         ny, nx, jnp.dtype(dtype).name, br,
         float(h), float(Pr), float(Ra), float(k), float(beta), mode,
         not _on_tpu(), ny_mask=ny_mask, with_defect=with_defect,
+        with_helm_defect=with_helm_defect,
     )
     z = jnp.asarray(0.0, dtype)
+    if with_helm_defect:
+        # ds splits of C = 4 + c h^2 for the fused initial defects —
+        # the exact EFT sequence of ds._defect_scalars' traced-f32 branch
+        h2 = jnp.asarray(float(h) * float(h), jnp.float32)
+        four = jnp.asarray(4.0, jnp.float32)
+
+        def _c_pair(c):
+            p, pe = two_prod(jnp.asarray(c, jnp.float32), h2)
+            s, se = two_sum(four, p)
+            return quick_two_sum(s, se + pe)
+
+        CT_hi, CT_lo = _c_pair(cT)
+        CW_hi, CW_lo = _c_pair(cW)
+    else:
+        CT_hi = CT_lo = CW_hi = CW_lo = z
     scal = jnp.stack([
         jnp.asarray(dt, dtype),
         z if cT is None else jnp.asarray(cT, dtype),
         z if cW is None else jnp.asarray(cW, dtype),
         jnp.asarray(row_off, dtype),
-    ]).reshape(4, 1)
+        CT_hi, CT_lo, CW_hi, CW_lo,
+    ]).reshape(8, 1)
+    n = ny_mask if ny_mask is not None else ny
     if with_defect:
         out, r32, acc = call(scal, tw_rp, s_rp)
-        n = ny_mask if ny_mask is not None else ny
         r_rms = jnp.sqrt(acc[2, 0] / (nx * n))
         return (
             out,
             (acc[0, 0], acc[1, 0]),
             (r32, r_rms),
             (acc[3, 0], acc[4, 0], jnp.asarray(0.0, dtype)),
+        )
+    if with_helm_defect:
+        out, r2, acc = call(scal, tw_rp, s_rp)
+        rT_rms = jnp.sqrt(acc[2, 0] / (nx * n))
+        rW_rms = jnp.sqrt(acc[3, 0] / (nx * n))
+        return (
+            out,
+            (acc[0, 0], acc[1, 0]),
+            (r2[0], rT_rms),
+            (r2[1], rW_rms),
         )
     out, acc = call(scal, tw_rp, s_rp)
     if with_sumsq:

@@ -149,3 +149,60 @@ def test_with_defect_matches_separate_passes(rng):
     assert float(rrms_ref) == float(rrms_f)
     assert float(ex_ref[0]) == float(ex_f[0])
     assert float(ex_ref[1]) == float(ex_f[1])
+
+
+def test_with_helm_defect_matches_separate_passes(rng):
+    """with_helm_defect (rhs mode) must equal the separate rhs-kernel +
+    two ds.defect_pass calls bitwise: same T_rhs/W_rhs and sumsqs, same
+    rT = A_cT BC(T) - T_rhs (the T pass runs apply_bcs=True on the (T,0)
+    warm start) and rW = A_cW W - W_rhs, same r_rms values.  (The fast
+    loop does not use this mode — measured ~3% slower end-to-end, see
+    CLAUDE.md — but the capability is kept and must stay bitwise.)"""
+    from fpr_tpu.ops import ds as dsm
+
+    ny, nx = 65, 257
+    h = 1.0 / (ny - 1)
+    f32 = jnp.float32
+    br = pallas2d._pick_br(ny, nx, 4)
+    T = jnp.asarray(rng.standard_normal((ny, nx)), f32)
+    W = jnp.asarray(rng.standard_normal((ny, nx)), f32)
+    S = jnp.asarray(rng.standard_normal((ny, nx)), f32)
+    TW = jnp.stack([pallas2d.pad2d(T, br), pallas2d.pad2d(W, br)])
+    S_rp = pallas2d.pad2d(S, br)
+    dt = jnp.asarray(1e-4, f32)
+    beta = 0.5
+    cT = 1.0 / (jnp.asarray(beta, f32) * dt)
+    cW = cT / jnp.asarray(0.01, f32)
+
+    rhs_ref, (tss_ref, wss_ref) = pallas_ns.ns_fused_rp(
+        TW, S_rp, dt, ny, nx, br, h, 0.01, 1e6,
+        mode="rhs", beta=beta, cT=cT, cW=cW, with_sumsq=True,
+    )
+    zeros = jnp.zeros_like(TW[0])
+    _, rT_ref, rTrms_ref = dsm.defect_pass(
+        jnp.stack([TW[0], zeros]), rhs_ref[0:1], zeros, 0.0,
+        ny, nx, br, h, cT, apply_bcs=True,
+    )
+    _, rW_ref, rWrms_ref = dsm.defect_pass(
+        jnp.stack([TW[1], zeros]), rhs_ref[1:2], zeros, 0.0,
+        ny, nx, br, h, cW,
+    )
+
+    out_f, (tss_f, wss_f), (rT_f, rTrms_f), (rW_f, rWrms_f) = (
+        pallas_ns.ns_fused_rp(
+            TW, S_rp, dt, ny, nx, br, h, 0.01, 1e6,
+            mode="rhs", beta=beta, cT=cT, cW=cW, with_helm_defect=True,
+        )
+    )
+
+    PAD = pallas2d.PAD
+    phys = np.s_[PAD : PAD + ny, :nx]
+    assert np.array_equal(
+        np.asarray(rhs_ref[:, *phys]), np.asarray(out_f[:, *phys])
+    )
+    assert float(tss_ref) == float(tss_f)
+    assert float(wss_ref) == float(wss_f)
+    assert np.array_equal(np.asarray(rT_ref[phys]), np.asarray(rT_f[phys]))
+    assert np.array_equal(np.asarray(rW_ref[phys]), np.asarray(rW_f[phys]))
+    assert float(rTrms_ref) == float(rTrms_f)
+    assert float(rWrms_ref) == float(rWrms_f)
