@@ -905,15 +905,20 @@ def _stk_bq(br: int, total: int, scratch_of) -> int:
 def _smooth2r_stk_kernel(
     c_ref, L_hbm, out_hbm, res_hbm,
     slabs, results, sem_in, sem_ou, sem_or,
-    *, BR, ny, nx, nxp, h, alpha, zero_u, S,
+    *, BR, ny, nx, nxp, h, alpha, zero_u, S, ns,
 ):
-    """Stacked-aliased downward leg: two damped-Jacobi sweeps + residual
+    """Stacked-aliased downward leg: ``ns`` damped-Jacobi sweeps + residual
     (parity-split, separate output) in one HBM pass over the
     (2, total, nxp) level state.
 
-    Bitwise-identical arithmetic to _smooth2r_kernel(split_res=True).
+    Bitwise-identical arithmetic to _smooth2r_kernel(split_res=True) at
+    ns=2.  Extra sweeps are VPU-only work on the slab already in VMEM —
+    the kernel is DMA-bound, so deeper smoothing (V(3,3)/V(4,4) cycles)
+    costs almost nothing per pass; each sweep consumes one ghost-row ring
+    (ns <= PAD-2 keeps the output rows valid).
     zero_u: skip the u chunk entirely (slab carries f only, no RAW race).
     """
+    assert 1 <= ns <= PAD - 2, ns
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     islot = jax.lax.rem(i, jnp.asarray(S, i.dtype))
@@ -1000,11 +1005,12 @@ def _smooth2r_stk_kernel(
 
     if zero_u:
         res1 = jnp.where(interior, -F, jnp.asarray(0.0, dtype))
-        u1 = w * res1
+        u2 = w * res1
     else:
         U = slabs[islot, 0, :, :]
-        u1 = U + w * res_of(U)
-    u2 = u1 + w * res_of(u1)
+        u2 = U + w * res_of(U)
+    for _ in range(ns - 1):
+        u2 = u2 + w * res_of(u2)
     res = res_of(u2)
 
     # free the results slot BEFORE writing it: cout(i-2) reads the same
@@ -1043,7 +1049,7 @@ def _smooth2r_stk_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
-                   ny_mask=None):
+                   ny_mask=None, ns=2):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
@@ -1060,7 +1066,7 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
     kernel = functools.partial(
         _smooth2r_stk_kernel,
         BR=BQ, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
-        h=h, alpha=alpha, zero_u=zero_u, S=S,
+        h=h, alpha=alpha, zero_u=zero_u, S=S, ns=ns,
     )
     return pl.pallas_call(
         kernel,
@@ -1085,7 +1091,7 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=30 * ny * nx,
+            flops=10 * (ns + 1) * ny * nx,
             bytes_accessed=4 * dtype.itemsize * ny * nx,
             transcendentals=0,
         ),
@@ -1098,16 +1104,16 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
 
 
 def smooth2r_stk(L, ny, nx, br, h, c, alpha=0.8, zero_u=False, row_off=0,
-                 ny_mask=None):
+                 ny_mask=None, ns=2):
     """Stacked-aliased downward leg on the (2, total, nxp) level state.
 
     Returns (L', res_ps): L' the same donated buffer on TPU with plane 0 =
-    u after two smooths and plane 1 = f unchanged; res_ps the parity-split
-    residual (feeds transfer.restrict_ps).  Semantically identical to
-    smooth2r_split_rp on (L[0], L[1])."""
+    u after ``ns`` smooths and plane 1 = f unchanged; res_ps the
+    parity-split residual (feeds transfer.restrict_ps).  Semantically
+    identical to smooth2r_split_rp on (L[0], L[1]) at ns=2."""
     call = _build_s2r_stk(
         ny, nx, jnp.dtype(L.dtype).name, br, float(h), float(alpha),
-        not _on_tpu(), zero_u=zero_u, ny_mask=ny_mask,
+        not _on_tpu(), zero_u=zero_u, ny_mask=ny_mask, ns=ns,
     )
     out, res_ps = call(_scal2(c, row_off, L.dtype), L)
     if not _on_tpu():
@@ -1119,12 +1125,14 @@ def smooth2r_stk(L, ny, nx, br, h, c, alpha=0.8, zero_u=False, row_off=0,
 def _corr_smooth2_stk_kernel(
     c_ref, L_hbm, corr_hbm, out_hbm, acc_ref,
     slabs, cbufs, results, sem_in, sem_c, sem_out,
-    *, BR, ny, nx, nxp, h, alpha, with_norm, S,
+    *, BR, ny, nx, nxp, h, alpha, with_norm, S, ns,
 ):
     """Stacked-aliased upward leg: y-interpolate the (x-pre-interleaved)
-    coarse correction, subtract, two post-smooths — writing u back over
+    coarse correction, subtract, ``ns`` post-smooths — writing u back over
     plane 0 of the aliased level state.  Bitwise-identical arithmetic to
-    _corr_smooth2_kernel."""
+    _corr_smooth2_kernel at ns=2; the norm accumulates the residual that
+    fed the LAST smooth (the same estimate semantics at every ns)."""
+    assert 1 <= ns <= PAD - 2, ns
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     islot = jax.lax.rem(i, jnp.asarray(S, i.dtype))
@@ -1207,9 +1215,11 @@ def _corr_smooth2_stk_kernel(
             interior, (vm + vp + vl + vr - C4 * V) * _h2 - F, jnp.asarray(0.0, dtype)
         )
 
-    u1 = U + w * res_of(U)
-    res2 = res_of(u1)
-    u2 = u1 + w * res2
+    u2 = U
+    res2 = None
+    for _ in range(ns):
+        res2 = res_of(u2)
+        u2 = u2 + w * res2
 
     # free the results slot BEFORE writing it (WAR vs the in-flight cout)
     @pl.when(i >= 2)
@@ -1247,7 +1257,7 @@ def _corr_smooth2_stk_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
-                   interpret, ny_mask=None):
+                   interpret, ny_mask=None, ns=2):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
@@ -1263,7 +1273,7 @@ def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
     kernel = functools.partial(
         _corr_smooth2_stk_kernel,
         BR=BQ, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
-        h=h, alpha=alpha, with_norm=with_norm, S=S,
+        h=h, alpha=alpha, with_norm=with_norm, S=S, ns=ns,
     )
     return pl.pallas_call(
         kernel,
@@ -1303,7 +1313,7 @@ def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
 
 
 def corr_smooth2_stk(L, corrx_rp, ny, nx, br, h, c, alpha=0.8,
-                     with_norm=False, row_off=0, ny_mask=None):
+                     with_norm=False, row_off=0, ny_mask=None, ns=2):
     """Stacked-aliased upward leg on a PREBUILT x-interleaved correction
     buffer (see corr_smooth2_raw for its layout).  Returns (L', r_rms or
     None) with plane 0 = corrected+smoothed u, plane 1 unchanged."""
@@ -1311,7 +1321,7 @@ def corr_smooth2_stk(L, corrx_rp, ny, nx, br, h, c, alpha=0.8,
     call = _build_cs2_stk(
         ny, nx, jnp.dtype(L.dtype).name, br,
         float(h), float(alpha), bool(with_norm), corrx_rp.shape[0],
-        not _on_tpu(), ny_mask=ny_mask,
+        not _on_tpu(), ny_mask=ny_mask, ns=ns,
     )
     out, acc = call(_scal2(c, row_off, L.dtype), L, corrx_rp)
     if not _on_tpu():

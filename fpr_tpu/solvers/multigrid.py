@@ -312,11 +312,15 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
 
 def _stk_eligible(cfg: MGConfig) -> bool:
     """The stacked-aliased V-cycle implements the fused-leg configuration
-    only (Jacobi, 2+2 smooths, injection restriction)."""
+    only (Jacobi, 1-4 pre/post smooths, injection restriction).  The
+    smooth count is a free parameter of the fused kernels: extra sweeps
+    happen on the VMEM slab of a DMA-bound pass, so V(3,3)/V(4,4) cycles
+    cost the same HBM traffic as V(2,2) while contracting harder (fewer
+    outer defect iterations — see mg_solve_ds)."""
     return (
         cfg.smoother is Smoother.JACOBI
-        and cfg.pre_smooth == 2
-        and cfg.post_smooth == 2
+        and 1 <= cfg.pre_smooth <= 6
+        and 1 <= cfg.post_smooth <= 6
         and cfg.resolved_restriction() is not Restriction.FULL_WEIGHTING
     )
 
@@ -348,7 +352,7 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     alpha = cfg.jacobi_damping
 
     L, res_ps = pallas2d.smooth2r_stk(
-        L, ny, nx, br, h, c, alpha, zero_u=assume_zero_u
+        L, ny, nx, br, h, c, alpha, zero_u=assume_zero_u, ns=cfg.pre_smooth
     )
     res_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=apply_bcs)
 
@@ -372,7 +376,8 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)
     corrx_rp = corrx_rp.at[pallas2d.PAD : pallas2d.PAD + corrx.shape[0], :nx].set(corrx)
     L, r_rms = pallas2d.corr_smooth2_stk(
-        L, corrx_rp, ny, nx, br, h, c, alpha, with_norm=True
+        L, corrx_rp, ny, nx, br, h, c, alpha, with_norm=True,
+        ns=cfg.post_smooth,
     )
     return L, r_rms
 

@@ -221,3 +221,84 @@ def test_vcycle_stk_matches_vcycle_rp(rng, monkeypatch):
         )
         np.testing.assert_array_equal(I(u_rp), I(L[0]))
         assert float(r_rp) == float(r_stk)
+
+
+@pytest.mark.parametrize("ns", [1, 3])
+def test_stk_legs_deep_smoothing(rng, ns):
+    # the fused stk legs take the smooth count as a parameter: ns sweeps
+    # must equal ns composed smooth_rp calls (+ residual / + correction),
+    # with the SAME r_rms estimate semantics (residual feeding the last
+    # smooth) at every depth
+    from fpr_tpu.ops import transfer
+
+    ny, nx = 257, 129
+    br = 64  # forces 5 blocks
+    h, c = 1.0 / (ny - 1), 0.7
+    total = pallas2d.padded_rows(ny, br)
+    nxp = pallas2d.padded_cols(nx)
+    f_rp = pallas2d.pad2d(jnp.asarray(rng.random((ny, nx))), br)
+    u_rp = pallas2d.pad2d(jnp.asarray(rng.random((ny, nx))), br)
+    I = lambda a: np.asarray(pallas2d.unpad2d(a, ny, nx))
+
+    # downward leg: ns smooths + residual (+ restriction row pass)
+    v = u_rp
+    for _ in range(ns):
+        v, _ = pallas2d.smooth_rp(v, f_rp, ny, nx, br, h, c, with_norm=False)
+    res = pallas2d.residual_rp(v, f_rp, ny, nx, br, h, c)
+    L = jnp.stack([u_rp, f_rp])
+    L1, res_ps = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, ns=ns)
+    np.testing.assert_allclose(I(L1[0]), I(v), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(transfer.restrict_ps(res_ps, ny, nx, br)),
+        np.asarray(transfer.restrict(pallas2d.unpad2d(res, ny, nx))),
+        atol=1e-14,
+    )
+
+    # upward leg: correction + ns post-smooths, norm from the last sweep
+    nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
+    coarse = jnp.asarray(rng.random((nyc, nxc)))
+    corr_f = transfer.prolongate_rp(coarse, (ny, nx), u_rp.shape)
+    w = L1[0] - corr_f
+    r_ref = None
+    for s in range(ns):
+        w, r = pallas2d.smooth_rp(
+            w, f_rp, ny, nx, br, h, c, with_norm=(s == ns - 1)
+        )
+        r_ref = r
+    corrx = pallas2d.x_interleave_coarse(coarse)
+    rows_needed = pallas2d.corr_rows_needed(ny, br)
+    corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)
+    corrx_rp = corrx_rp.at[pallas2d.PAD : pallas2d.PAD + corrx.shape[0], :nx].set(corrx)
+    L2, r_got = pallas2d.corr_smooth2_stk(
+        L1, corrx_rp, ny, nx, br, h, c, with_norm=True, ns=ns
+    )
+    np.testing.assert_allclose(I(L2[0]), I(w), atol=1e-14)
+    assert abs(float(r_got) - float(r_ref)) < 1e-13
+
+
+def test_vcycle_stk_deep_smoothing_matches_vcycle_rp(rng, monkeypatch):
+    # V(3,3) end-to-end: the stk V-cycle with pre=post=3 equals vcycle_rp's
+    # generic (unfused-loop) path at the same counts
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
+    n = 129
+    h = 1.0 / (n - 1)
+    cfg = MGConfig(coarse_size=17, pre_smooth=3, post_smooth=3)
+    assert multigrid._stk_eligible(cfg)
+    f = jnp.asarray(rng.random((n, n)))
+    br = pallas2d._pick_br(n, n, 8)
+    total = pallas2d.padded_rows(n, br)
+    nxp = pallas2d.padded_cols(n)
+    f_rp = pallas2d.pad2d(f, br)
+    I = lambda a: np.asarray(pallas2d.unpad2d(a, n, n))
+
+    u_rp = jnp.zeros((total, nxp), f.dtype)
+    L = jnp.zeros((2, total, nxp), f.dtype).at[1].set(f_rp)
+    for cyc in range(2):
+        u_rp, r_rp = multigrid.vcycle_rp(
+            u_rp, f_rp, n, n, h, 0.0, 1e-8, cfg, assume_zero_u=(cyc == 0)
+        )
+        L, r_stk = multigrid.vcycle_stk(
+            L, n, n, h, 0.0, 1e-8, cfg, assume_zero_u=(cyc == 0)
+        )
+        np.testing.assert_allclose(I(u_rp), I(L[0]), atol=1e-13)
+        assert abs(float(r_rp) - float(r_stk)) < 1e-13
