@@ -106,7 +106,11 @@ def bench_mg(n: int, tol: float, amortize: int = 10, tunnel_s: float = 0.0):
     from fpr_tpu.utils.timing import timed_stats
 
     cfg = MGConfig(
-        coarse_size=min(513, n), coarse_solver=CoarseSolver.DST
+        coarse_size=min(513, n), coarse_solver=CoarseSolver.DST,
+        # deep-smoothed V(5,5) cycle: extra sweeps are free on the
+        # DMA-bound stk legs and contract ~an order harder per cycle
+        # (same-session A/B at 4097^2: 12.9 ms vs V(2,2)'s 17.1)
+        pre_smooth=5, post_smooth=5,
     )
     h = 1.0 / (n - 1)
     key = jax.random.PRNGKey(0)
@@ -363,7 +367,7 @@ def main():
             mg_s = mg_stats.median_s
             extras.update({
                 "mg_grid": f"{n_mg}^2",
-                "mg_solver": "ds defect correction + DST-513 ladder (mg_solve_ds)",
+                "mg_solver": "ds defect correction + DST-513 ladder, V(5,5) deep smoothing (mg_solve_ds)",
                 "mg_seconds_to_tol1e-6": mg_s,
                 "mg_iqr_s": mg_stats.iqr_s,
                 "mg_device_seconds_per_solve": round(mg_per_solve, 5),

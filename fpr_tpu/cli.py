@@ -161,12 +161,17 @@ def cmd_mg(args):
     if args.devices > 1 and args.solver != "ds":
         raise SystemExit("--devices>1 requires --solver ds (the sharded "
                          "production tier)")
+    if args.devices > 1 and args.smooths != 2:
+        raise SystemExit("--smooths != 2 is single-device for now (the "
+                         "sharded tier's per-shard legs are fixed at 2+2)")
     n = 2**args.k + 1
     h = 1.0 / (n - 1)
     cfg = MGConfig(
         coarse_size=2**args.l + 1,
         coarse_solver=CoarseSolver(args.coarse),
         policy=ExecutionPolicy.JNP,
+        pre_smooth=args.smooths,
+        post_smooth=args.smooths,
     )
     key = jax.random.PRNGKey(0)
     dtype = jnp.float64 if (args.f64 or args.solver == "mixed") else jnp.float32
@@ -292,6 +297,12 @@ def main(argv=None):
         "--devices", type=int, default=1,
         help="with --solver ds: row-shard the solve over a 1D device mesh "
         "(solvers/dist_mg_ds — grids beyond one chip's HBM)",
+    )
+    p.add_argument(
+        "--smooths", type=int, default=2,
+        help="pre/post smooth sweeps per V-cycle leg (deep smoothing is "
+        "~free on the DMA-bound fused kernels; 4-5 is the measured "
+        "production choice for the ds tier, 2 the reference parity)",
     )
     p.set_defaults(fn=cmd_mg)
 

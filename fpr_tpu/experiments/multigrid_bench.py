@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--dst", action="store_true",
                     help="add truncated-ladder DST coarse-solver configs "
                          "(coarse='dst' rows) to the k/l sweep")
+    ap.add_argument("--smooths", type=int, default=2,
+                    help="pre/post smooth count for the ds tier's stk "
+                         "V-cycle legs (extra sweeps are ~free on the "
+                         "DMA-bound kernels and contract harder; rows are "
+                         "labeled ds_vNN when != 2)")
     args = ap.parse_args()
     if args.out is None:  # the two modes have different schemas
         args.out = (
@@ -243,12 +248,21 @@ def main():
                        if l <= k]
         for l, coarse in combos:
             for solver in args.solvers.split(","):
+                ns = args.smooths
+                label = solver
+                if solver == "ds" and ns != 2:
+                    label = f"ds_v{ns}{ns}"
                 if csv_has_row(args.out, dict(k=k, l=l, coarse=coarse.value,
-                                              solver=solver, backend=backend)):
+                                              solver=label, backend=backend)):
                     continue
                 n = 2**k + 1
                 h = 1.0 / (n - 1)
                 cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse)
+                if solver == "ds":
+                    # deep smoothing rides the stk legs (ds tier only; the
+                    # direct/mixed parity tiers keep the reference's 2+2)
+                    cfg = MGConfig(coarse_size=2**l + 1, coarse_solver=coarse,
+                                   pre_smooth=ns, post_smooth=ns)
                 device_s = None
                 try:
                     if solver == "ds":
@@ -293,7 +307,7 @@ def main():
                     jax.clear_caches()
                     continue
                 row = dict(
-                    k=k, l=l, coarse=coarse.value, solver=solver,
+                    k=k, l=l, coarse=coarse.value, solver=label,
                     backend=backend, seconds=round(st.median_s, 4),
                     iters=int(it), iqr_s=round(st.iqr_s, 5), reps=st.reps,
                     device_s=round(device_s, 5) if device_s else "",

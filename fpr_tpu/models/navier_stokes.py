@@ -283,6 +283,13 @@ def fast_mg_default(cfg: NSConfig) -> NSConfig:
     coarse 513 on this anisotropic grid leaves (513, 129)-scale DST
     matmuls per cycle and measured ~50% SLOWER — see the fast_dst513
     rows in benchmark-results/ns_fullscale.csv.
+    The ladder also deep-smooths: V(3,3) instead of the reference's
+    V(2,2).  The extra sweep per fused leg is ~free (the stk kernels are
+    DMA-bound) and contracts the warm solves hard enough to drop 1-2
+    outer defect iterations per step — measured same-session at 2049x513:
+    explicit Pr=0.01 5.44 -> 4.25 s (22%), semi 0.229 -> 0.224 s, with
+    EXACT step parity (8739/40) in every arm; V(4,4) measured identical
+    to V(3,3), so the shallower depth wins on compute.
     An explicitly provided cfg.mg always wins, and grids with
     min(ny, nx) <= 129 are left alone (the subtree is the whole solve
     there, and the sharded path could no longer decompose it).
@@ -292,7 +299,8 @@ def fast_mg_default(cfg: NSConfig) -> NSConfig:
     if cfg.mg != MGConfig() or min(cfg.ny, cfg.nx) <= 129:
         return cfg
     return dataclasses.replace(
-        cfg, mg=MGConfig(coarse_size=257, coarse_solver=CoarseSolver.DST)
+        cfg, mg=MGConfig(coarse_size=257, coarse_solver=CoarseSolver.DST,
+                         pre_smooth=3, post_smooth=3)
     )
 
 

@@ -304,12 +304,14 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
 def _smooth2r_kernel(
     c_ref, u_hbm, f_hbm, out_hbm,
     slabs, fbufs, results, sem_u, sem_f, sem_out,
-    *, BR, ny, nx, nxp, h, alpha, split_res, zero_u=False,
+    *, BR, ny, nx, nxp, h, alpha, split_res, zero_u=False, ns=2,
 ):
-    """Fused V-cycle downward leg: two chained damped-Jacobi sweeps AND the
-    post-pair residual in one HBM pass (one kernel call instead of three —
-    the per-call launch and per-DMA scalar overheads dominate these
-    latency-bound 2D passes).
+    """Fused V-cycle downward leg: ``ns`` chained damped-Jacobi sweeps AND
+    the post-chain residual in one HBM pass (one kernel call instead of
+    three — the per-call launch and per-DMA scalar overheads dominate these
+    latency-bound 2D passes).  Extra sweeps beyond 2 are nearly free
+    (VPU-only work on the slab already in VMEM; each consumes one
+    ghost-row ring, ns <= PAD-2).
 
     split_res: write the residual plane PARITY-SPLIT per block ([even rows;
     odd rows] instead of interleaved) so injection restriction's row pass
@@ -390,16 +392,18 @@ def _smooth2r_kernel(
             interior, (vm + vp + vl + vr - C * V) * _h2 - F, jnp.asarray(0.0, dtype)
         )
 
+    assert 1 <= ns <= PAD - 2, ns
     if zero_u:
         # u == 0 structurally (coarse corrections / defect-correction
         # top level): res_of(0) = -F on the interior, bitwise-identically
         res1 = jnp.where(interior, -F, jnp.asarray(0.0, dtype))
-        u1 = w * res1
+        u2 = w * res1
     else:
         U = slabs[slot, :, :]
-        u1 = U + w * res_of(U)      # valid rows 1..E-2
-    u2 = u1 + w * res_of(u1)        # valid rows 2..E-3 (PAD=8 >> 2)
-    res = res_of(u2)                # valid rows 3..E-4; block rows are PAD..
+        u2 = U + w * res_of(U)      # valid rows 1..E-2
+    for _ in range(ns - 1):
+        u2 = u2 + w * res_of(u2)    # each sweep eats one ring
+    res = res_of(u2)                # valid rows ns+1..E-2-ns; PAD=8 >= ns+1
 
     results[slot, 0, :, :] = u2[PAD : PAD + BR, :]
     res_blk = res[PAD : PAD + BR, :]
@@ -424,7 +428,7 @@ def _smooth2r_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
-               zero_u=False, ny_mask=None):
+               zero_u=False, ny_mask=None, ns=2):
     # ny drives the LOCAL layout (rows owned by this shard); ny_mask is the
     # GLOBAL interior bound (== ny single-device) checked against off + row
     dtype = jnp.dtype(dtype_name)
@@ -434,7 +438,7 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
     kernel = functools.partial(
         _smooth2r_kernel,
         BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
-        h=h, alpha=alpha, split_res=split_res, zero_u=zero_u,
+        h=h, alpha=alpha, split_res=split_res, zero_u=zero_u, ns=ns,
     )
     scratch = dtype.itemsize * nxp * (
         2 * (BR + 2 * PAD) * (1 if zero_u else 2) + 2 * 2 * BR
@@ -494,7 +498,7 @@ def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
 
 
 def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False,
-                      row_off=0, ny_mask=None):
+                      row_off=0, ny_mask=None, ns=2):
     """smooth2r with the residual plane parity-split per block ([even rows;
     odd rows]) — the V-cycle fast path.  Returns (u_rp'', res_ps) where
     res_ps feeds transfer.restrict_ps (the even halves ARE the injected
@@ -508,10 +512,12 @@ def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False,
     Distributed: ny is this shard's LOCAL row count (the layout); ny_mask
     the GLOBAL row count and row_off the (traced) global index of local
     row 0.  The shard's PAD ghost rows must hold the neighbors' boundary
-    rows (fpr_tpu.solvers.dist_mg_ds refreshes them via ppermute)."""
+    rows (fpr_tpu.solvers.dist_mg_ds refreshes them via ppermute); one
+    8-row exchange supports up to ns = PAD-2 sweeps of in-kernel halo
+    recomputation bitwise."""
     call = _build_s2r(
         ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
-        not _on_tpu(), split_res=True, zero_u=zero_u, ny_mask=ny_mask,
+        not _on_tpu(), split_res=True, zero_u=zero_u, ny_mask=ny_mask, ns=ns,
     )
     out = call(_scal2(c, row_off, u_rp.dtype), u_rp, f_rp)
     return out[0], out[1]
@@ -538,14 +544,15 @@ def x_interleave_coarse(coarse, apply_bcs=False):
 def _corr_smooth2_kernel(
     c_ref, u_hbm, f_hbm, corr_hbm, out_hbm, acc_ref,
     slabs, fbufs, cbufs, results, sem_u, sem_f, sem_c, sem_out,
-    *, BR, ny, nx, nxp, h, alpha, with_norm,
+    *, BR, ny, nx, nxp, h, alpha, with_norm, ns=2,
 ):
     """Fused V-cycle upward leg: y-interpolation of the (x-pre-interleaved)
-    coarse correction, the subtraction, and both post-smooths in one pass.
+    coarse correction, the subtraction, and ``ns`` post-smooths in one pass.
 
     BR must be a multiple of 16 so the coarse windows stay sublane-aligned
     and the fine/coarse row parity is fixed across blocks.
     """
+    assert 1 <= ns <= PAD - 2, ns
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
@@ -645,9 +652,11 @@ def _corr_smooth2_kernel(
             interior, (vm + vp + vl + vr - C4 * V) * _h2 - F, jnp.asarray(0.0, dtype)
         )
 
-    u1 = U + w * res_of(U)
-    res2 = res_of(u1)
-    u2 = u1 + w * res2
+    u2 = U
+    res2 = None
+    for _ in range(ns):
+        res2 = res_of(u2)
+        u2 = u2 + w * res2
 
     results[slot, :, :] = u2[PAD : PAD + BR, :]
 
@@ -673,7 +682,7 @@ def _corr_smooth2_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret,
-               ny_mask=None):
+               ny_mask=None, ns=2):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
@@ -681,7 +690,7 @@ def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret
     kernel = functools.partial(
         _corr_smooth2_kernel,
         BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
-        h=h, alpha=alpha, with_norm=with_norm,
+        h=h, alpha=alpha, with_norm=with_norm, ns=ns,
     )
     return pl.pallas_call(
         kernel,
@@ -734,7 +743,7 @@ def corr_rows_needed(ny: int, br: int) -> int:
 
 def corr_smooth2_raw(
     u_rp, f_rp, corrx_rp, ny, nx, br, h, c,
-    alpha=0.8, with_norm=False, row_off=0, ny_mask=None, raw_acc=False,
+    alpha=0.8, with_norm=False, row_off=0, ny_mask=None, raw_acc=False, ns=2,
 ):
     """corr_smooth2 on a PREBUILT x-interleaved correction buffer: local
     coarse row j (fine-width, x-interleaved) at buffer row PAD + j, with
@@ -746,7 +755,7 @@ def corr_smooth2_raw(
     call = _build_cs2(
         ny, nx, jnp.dtype(u_rp.dtype).name, br,
         float(h), float(alpha), bool(with_norm), corrx_rp.shape[0],
-        not _on_tpu(), ny_mask=ny_mask,
+        not _on_tpu(), ny_mask=ny_mask, ns=ns,
     )
     out, acc = call(_scal2(c, row_off, u_rp.dtype), u_rp, f_rp, corrx_rp)
     if not with_norm:
@@ -758,9 +767,10 @@ def corr_smooth2_raw(
 
 def corr_smooth2_rp(
     u_rp, f_rp, corr_phys, ny, nx, br, h, c,
-    alpha=0.8, apply_bcs=False, with_norm=False,
+    alpha=0.8, apply_bcs=False, with_norm=False, ns=2,
 ):
-    """Fused upward leg: u -= prolongate(corr); two smooths; optional norm.
+    """Fused upward leg: u -= prolongate(corr); ``ns`` smooths; optional
+    norm.
 
     corr_phys is the coarse level's PHYSICAL array; the x direction is
     interpolated here in XLA (cheap), the y direction inside the kernel.
@@ -773,7 +783,7 @@ def corr_smooth2_rp(
     corrx_rp = corrx_rp.at[PAD : PAD + corrx.shape[0], :nx].set(corrx)
     return corr_smooth2_raw(
         u_rp, f_rp, corrx_rp, ny, nx, br, h, c,
-        alpha=alpha, with_norm=with_norm,
+        alpha=alpha, with_norm=with_norm, ns=ns,
     )
 
 

@@ -205,7 +205,11 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
     """
     alpha = cfg.jacobi_damping
     assert cfg.smoother is Smoother.JACOBI
-    assert cfg.pre_smooth == 2 and cfg.post_smooth == 2
+    # one 8-row halo exchange per leg supports up to PAD-2 sweeps of
+    # in-kernel (bitwise) halo recomputation — same bound as the
+    # single-device kernels, so the deep-smoothed production configs
+    # (V(3,3)..V(5,5)) shard without extra communication
+    assert 1 <= cfg.pre_smooth <= 6 and 1 <= cfg.post_smooth <= 6
 
     d = lax.axis_index(axis)
     down = []  # (u_rp, f_rp, level meta) per sharded level
@@ -220,7 +224,7 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
             u = _refresh(u, ny_lm, axis)
         u, res_ps = pallas2d.smooth2r_split_rp(
             u, f, ny_lm, nx_gm, br_m, h_m, c, alpha,
-            zero_u=zero_u, row_off=off_m, ny_mask=ny_gm,
+            zero_u=zero_u, row_off=off_m, ny_mask=ny_gm, ns=cfg.pre_smooth,
         )
         down.append((u, f, (ny_lm, ny_gm, nx_gm, br_m, h_m, off_m)))
         res_c = _restrict_ps_cols(res_ps, ny_lm, br_m, nx_gm,
@@ -286,6 +290,7 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
         u, _ = pallas2d.corr_smooth2_raw(
             u, f, corrx_rp, ny_lm, nx_gm, br_m, h_m, c, alpha,
             with_norm=False, row_off=off_m, ny_mask=ny_gm,
+            ns=cfg.post_smooth,
         )
         corr_rp_next = u
     return u
@@ -331,7 +336,7 @@ def mg_solve_ds_sharded(
     ny, nx = f.shape
     if inner_cycles is None:
         from fpr_tpu.solvers.multigrid import _auto_inner_cycles
-        inner_cycles = _auto_inner_cycles(ny, nx)
+        inner_cycles = _auto_inner_cycles(ny, nx, cfg)
     ndev = mesh.shape[axis]
     plan = plan_shards(ny, nx, ndev, cfg, replicate_below)
     solve = _build_sharded(

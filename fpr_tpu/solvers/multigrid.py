@@ -256,11 +256,13 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     br = pallas2d._pick_br(ny, nx, jnp.dtype(u_rp.dtype).itemsize)
     alpha = cfg.jacobi_damping
 
-    if cfg.resolved_restriction() is not Restriction.FULL_WEIGHTING and cfg.pre_smooth == 2:
-        # fused downward leg: both pre-smooths, the residual, AND the
+    if (cfg.resolved_restriction() is not Restriction.FULL_WEIGHTING
+            and 1 <= cfg.pre_smooth <= 6):
+        # fused downward leg: all pre-smooths, the residual, AND the
         # restriction row pass in one HBM pass (parity-split output)
         u_rp, res_ps = pallas2d.smooth2r_split_rp(
-            u_rp, f_rp, ny, nx, br, h, c, alpha, zero_u=assume_zero_u
+            u_rp, f_rp, ny, nx, br, h, c, alpha, zero_u=assume_zero_u,
+            ns=cfg.pre_smooth,
         )
         res_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=apply_bcs)
     else:
@@ -287,11 +289,11 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         assume_zero_u=True,
     )
 
-    if cfg.post_smooth == 2:
-        # fused upward leg: prolongate + correct + both post-smooths
+    if 1 <= cfg.post_smooth <= 6:
+        # fused upward leg: prolongate + correct + all post-smooths
         u_rp, r_rms = pallas2d.corr_smooth2_rp(
             u_rp, f_rp, pallas2d.unpad2d(corr_rp, nyc, nxc), ny, nx, br, h, c,
-            alpha, apply_bcs=apply_bcs, with_norm=True,
+            alpha, apply_bcs=apply_bcs, with_norm=True, ns=cfg.post_smooth,
         )
     else:
         corr_f = transfer.prolongate_rp(
@@ -518,14 +520,22 @@ def mg_solve_mixed_jit(
 # ---------------------------------------------------------------------------
 
 
-def _auto_inner_cycles(ny: int, nx: int) -> int:
+def _auto_inner_cycles(ny: int, nx: int, cfg: MGConfig = MGConfig()) -> int:
     """V-cycles per defect-correction outer iteration (static, trace-time).
 
     Measured on v5e (DST-513 ladder, tol 1e-6): at k<=12 two inner cycles
     win (51 vs 54 ms at 4097^2 — fewer outer defect passes), at k>=13 one
     cycle wins (172 vs 192 ms at 8193^2, 713 vs 820 ms at 16385^2): the
     fine-grid legs dominate, and a second cycle per outer buys too little
-    contraction for its extra fine-level traffic."""
+    contraction for its extra fine-level traffic.
+
+    With deep smoothing (pre_smooth >= 3: nearly-free extra sweeps on the
+    DMA-bound stk legs) one cycle per outer always wins — the cycle
+    already contracts ~an order harder, and doubling it buys less than
+    the saved defect pass costs (same-session A/B: k=12 V(3,3) ic=1
+    15.5 ms vs ic=2 17.8 ms)."""
+    if cfg.pre_smooth >= 3:
+        return 1
     return 1 if max(ny, nx) >= 8193 else 2
 
 
@@ -643,7 +653,7 @@ def mg_solve_ds_rp(
     from fpr_tpu.ops import pallas2d
 
     if inner_cycles is None:
-        inner_cycles = _auto_inner_cycles(ny, nx)
+        inner_cycles = _auto_inner_cycles(ny, nx, cfg)
     br = pallas2d._pick_br(ny, nx, 4)
     total = pallas2d.padded_rows(ny, br)
     nxp = pallas2d.padded_cols(nx)

@@ -59,10 +59,14 @@ def test_smooth2r_row_offset_matches_global(rng):
         )
 
 
-@pytest.mark.parametrize("n,rep", [(1025, 513), (2049, 1025)])
-def test_mg_solve_ds_sharded_matches_single(rng, n, rep):
+@pytest.mark.parametrize(
+    "n,rep,smooths", [(1025, 513, 2), (2049, 1025, 2), (1025, 513, 3)]
+)
+def test_mg_solve_ds_sharded_matches_single(rng, n, rep, smooths):
     """Iteration parity + field agreement with the single-device ds solver
-    (VERDICT round-2 item 1)."""
+    (VERDICT round-2 item 1); smooths=3 covers the deep-smoothed
+    production config over the mesh (one 8-row halo exchange per leg
+    absorbs up to PAD-2 in-kernel sweeps bitwise)."""
     h = 1.0 / (n - 1)
     tol = 1e-6
     b = (
@@ -70,7 +74,8 @@ def test_mg_solve_ds_sharded_matches_single(rng, n, rep):
         .at[1:-1, 1:-1]
         .set(jnp.asarray(rng.random((n - 2, n - 2)), jnp.float32))
     )
-    cfg = MGConfig(coarse_size=129, coarse_solver=CoarseSolver.DST)
+    cfg = MGConfig(coarse_size=129, coarse_solver=CoarseSolver.DST,
+                   pre_smooth=smooths, post_smooth=smooths)
     mesh = make_mesh((8,), ("y",))
 
     (hi_d, lo_d), r_d, it_d = dist_mg_ds.mg_solve_ds_sharded(

@@ -218,6 +218,7 @@ def test_fast_mg_default_upgrade_rules():
     up = fast_mg_default(NSConfig(nx=2049, ny=513))
     assert up.mg.coarse_size == 257
     assert up.mg.coarse_solver is CoarseSolver.DST
+    assert (up.mg.pre_smooth, up.mg.post_smooth) == (3, 3)  # deep V(3,3)
 
     small = NSConfig(nx=257, ny=65)
     assert fast_mg_default(small).mg == MGConfig()

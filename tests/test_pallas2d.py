@@ -253,6 +253,18 @@ def test_stk_legs_deep_smoothing(rng, ns):
         np.asarray(transfer.restrict(pallas2d.unpad2d(res, ny, nx))),
         atol=1e-14,
     )
+    # the separate-stream (sharded-tier) kernel at the same depth is
+    # bitwise-equal to the stk leg
+    u1s, res_ps_s = pallas2d.smooth2r_split_rp(
+        u_rp, f_rp, ny, nx, br, h, c, ns=ns
+    )
+    np.testing.assert_array_equal(I(u1s), I(L1[0]))
+    P8 = pallas2d.PAD
+    tot = pallas2d.padded_rows(ny, br)
+    np.testing.assert_array_equal(
+        np.asarray(res_ps_s)[P8 : tot - P8],
+        np.asarray(res_ps)[P8 : tot - P8],
+    )
 
     # upward leg: correction + ns post-smooths, norm from the last sweep
     nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
@@ -274,6 +286,11 @@ def test_stk_legs_deep_smoothing(rng, ns):
     )
     np.testing.assert_allclose(I(L2[0]), I(w), atol=1e-14)
     assert abs(float(r_got) - float(r_ref)) < 1e-13
+    u2s, r_got_s = pallas2d.corr_smooth2_rp(
+        L1[0], f_rp, coarse, ny, nx, br, h, c, with_norm=True, ns=ns
+    )
+    np.testing.assert_array_equal(I(u2s), I(L2[0]))
+    assert float(r_got_s) == float(r_got)
 
 
 def test_vcycle_stk_deep_smoothing_matches_vcycle_rp(rng, monkeypatch):
