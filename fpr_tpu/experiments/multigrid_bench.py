@@ -161,8 +161,12 @@ def main():
             # PER SOLVER below (not hoisted): at k=14 the f64 b/u0 pair
             # alone is 4.2 GB of device ballast that OOMs the ds tier
             # (which only needs the 1.07 GB f32 rhs)
+            # the ds tier runs its production configuration (DST-513
+            # ladder + deep V(5,5) smoothing — bench.py's headline
+            # config); mg/mixed/cg stay at reference-parity V(2,2)
             ds_cfg = MGConfig(coarse_size=min(513, n),
-                              coarse_solver=CoarseSolver.DST)
+                              coarse_solver=CoarseSolver.DST,
+                              pre_smooth=5, post_smooth=5)
             configs = {
                 "mg": lambda u0, b, _: (
                     lambda: multigrid.mg_solve_jit(u0, b, h, 0.0, args.tol, 30)),
