@@ -21,6 +21,9 @@ $PY -m fpr_tpu.experiments.part1_error_experiments --mode tol --n 128
 echo "== multigrid sweep =="
 $PY -m fpr_tpu.experiments.multigrid_bench --max-k 12 --dst
 $PY -m fpr_tpu.experiments.multigrid_bench --solvers ds --min-k 10 --max-k 14 --dst
+# deep-smoothed production rows (ds_v55 labels; V(2,2) rows kept above)
+$PY -m fpr_tpu.experiments.multigrid_bench --solvers ds --min-k 10 --max-k 14 \
+    --max-l 2 --dst --smooths 5
 $PY -m fpr_tpu.experiments.multigrid_bench --workprec --max-k 14 \
     --out "$RESULTS/mg_workprecision.csv"
 
