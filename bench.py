@@ -68,23 +68,8 @@ def bench_diffusion(n: int, iters_cap: int):
     return res, stats
 
 
-def measure_tunnel_overhead():
-    """Median latency of a trivial jitted call: the dev-environment RPC
-    round trip (axon tunnel), which a production TPU host does not pay.
-    Measured 2.5-27 ms depending on the day — larger than small-grid MG
-    device time, hence the amortized timing below."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    x = jnp.ones((8, 128), jnp.float32)
-    triv = jax.jit(lambda x: jnp.sum(x * 1.000001))
-    float(triv(x))
-    ts = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        float(triv(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+# dev-tunnel RPC cost probe — shared calibration home (utils/timing.py)
+from fpr_tpu.utils.timing import measure_tunnel_overhead  # noqa: E402
 
 
 def bench_mg(n: int, tol: float, amortize: int = 10, tunnel_s: float = 0.0):

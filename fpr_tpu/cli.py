@@ -89,10 +89,15 @@ def cmd_ns(args):
     from fpr_tpu.core.config import ExecutionPolicy, MGConfig, NSConfig
     from fpr_tpu.models import navier_stokes as ns
 
+    # --fast ignores --policy (the fast tier's solver is mg_solve_ds_rp,
+    # always Pallas): leave cfg.mg at the default so fast_mg_default can
+    # upgrade it to the production DST-257/V(3,3) ladder.  Setting
+    # MGConfig(policy=...) here would make it look explicitly provided.
+    mg = MGConfig() if args.fast else MGConfig(policy=ExecutionPolicy(args.policy))
     cfg = NSConfig(
         nx=args.nx, ny=args.ny, Ra=args.Ra, Pr=args.Pr, beta=args.beta,
         ttot=args.ttot, tol=args.tol, niters=args.niters,
-        mg=MGConfig(policy=ExecutionPolicy(args.policy)),
+        mg=mg,
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
     state0 = None
@@ -161,9 +166,10 @@ def cmd_mg(args):
     if args.devices > 1 and args.solver != "ds":
         raise SystemExit("--devices>1 requires --solver ds (the sharded "
                          "production tier)")
-    if args.devices > 1 and args.smooths != 2:
-        raise SystemExit("--smooths != 2 is single-device for now (the "
-                         "sharded tier's per-shard legs are fixed at 2+2)")
+    if args.devices > 1 and not (1 <= args.smooths <= 6):
+        raise SystemExit("--devices>1 supports --smooths 1..6 (one 8-row "
+                         "halo exchange per leg absorbs up to 6 in-kernel "
+                         "sweeps)")
     n = 2**args.k + 1
     h = 1.0 / (n - 1)
     cfg = MGConfig(

@@ -72,26 +72,12 @@ def main():
             .set(jax.random.uniform(key, (n - 2, n - 2), dtype))
         )
 
-    from fpr_tpu.utils.timing import timed_stats
+    from fpr_tpu.utils.timing import measure_tunnel_overhead, timed_stats
 
-    def tunnel_overhead():
-        """Median latency of a trivial jitted call: the dev tunnel's
-        per-call RPC cost, subtracted from amortized device timings
-        (28-43 ms observed — at N=5 chained solves that is a 6-9 ms/solve
-        bias; bench.py reports the same quantity)."""
-        import time
-
-        f = jax.jit(lambda x: x + 1.0)
-        x = jnp.zeros((8, 128), jnp.float32)
-        float(f(x)[0, 0])
-        ts = []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            float(f(x)[0, 0])
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[3]
-
-    tunnel_s = tunnel_overhead() if backend == "tpu" else 0.0
+    # per-call RPC cost of the dev tunnel, subtracted from amortized
+    # device timings (28-43 ms observed — at N=5 chained solves that is a
+    # 6-9 ms/solve bias; bench.py reports the same quantity)
+    tunnel_s = measure_tunnel_overhead() if backend == "tpu" else 0.0
     print(f"tunnel overhead: {tunnel_s*1e3:.1f} ms")
 
     def timed(fn, reps=3):
@@ -314,7 +300,7 @@ def main():
                     k=k, l=l, coarse=coarse.value, solver=label,
                     backend=backend, seconds=round(st.median_s, 4),
                     iters=int(it), iqr_s=round(st.iqr_s, 5), reps=st.reps,
-                    device_s=round(device_s, 5) if device_s else "",
+                    device_s=round(device_s, 5) if device_s is not None else "",
                 )
                 append_csv_row(
                     args.out, row,

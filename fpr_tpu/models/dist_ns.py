@@ -271,6 +271,11 @@ def simulate_fast_sharded(
 
     sp = NamedSharding(mesh, P(axis, None, None, None))
     if state0 is not None:
+        if "S_hi" not in state0:
+            raise ValueError(
+                "state0 is a host-loop checkpoint (T/W/S/t), not a "
+                "fast-path payload; resume it with simulate() (no --fast)"
+            )
         T = jnp.asarray(state0["T"], f32)
         W = jnp.asarray(state0["W"], f32)
         S_ds = lax.with_sharding_constraint(
@@ -301,8 +306,6 @@ def simulate_fast_sharded(
     hard_cap = jnp.asarray(
         max_steps if max_steps is not None else 1_000_000, jnp.int32
     )
-    if snapshot_steps:
-        chunk_steps = min(chunk_steps, snapshot_steps)
     snapshots = [] if snapshot_steps else None
 
     def gather(stack, plane, dtype=np.float64):
@@ -319,12 +322,17 @@ def simulate_fast_sharded(
     tic = time.time()
     while True:
         limit = jnp.minimum(step + jnp.asarray(chunk_steps, jnp.int32), hard_cap)
+        if snapshot_steps:
+            # align chunk boundaries to snapshot multiples (cadence holds
+            # even when snapshot_steps > chunk_steps)
+            snap = jnp.asarray(snapshot_steps, jnp.int32)
+            limit = jnp.minimum(limit, (step // snap + 1) * snap)
         TW, S_ds, w_ss, th, tl, step = loop(TW, S_ds, w_ss, th, tl, step, limit)
         sim_time = float(th) + float(tl)
         done = sim_time >= cfg.ttot or int(step) >= int(hard_cap)
         if not done and int(step) < int(limit):
             done = True  # device loop hit its own ttot test
-        if snapshots is not None:
+        if snapshots is not None and (done or int(step) % snapshot_steps == 0):
             snapshots.append((
                 gather(TW, 0), gather(TW, 1),
                 gather(S_ds, 0) + gather(S_ds, 1),

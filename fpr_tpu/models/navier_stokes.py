@@ -479,6 +479,11 @@ def simulate_fast(
     br = pallas2d._pick_br(ny, nx, 4)
 
     if state0 is not None:
+        if "S_hi" not in state0:
+            raise ValueError(
+                "state0 is a host-loop checkpoint (T/W/S/t), not a "
+                "fast-path payload; resume it with simulate() (no --fast)"
+            )
         TW = jnp.stack([
             pallas2d.pad2d(jnp.asarray(state0["T"], f32), br),
             pallas2d.pad2d(jnp.asarray(state0["W"], f32), br),
@@ -506,8 +511,6 @@ def simulate_fast(
     hard_cap = jnp.asarray(
         max_steps if max_steps is not None else 1_000_000, jnp.int32
     )
-    if snapshot_steps:
-        chunk_steps = min(chunk_steps, snapshot_steps)
     snapshots = [] if snapshot_steps else None
 
     def host_fields():
@@ -529,6 +532,11 @@ def simulate_fast(
     tic = time.time()
     while True:
         limit = jnp.minimum(step + jnp.asarray(chunk_steps, jnp.int32), hard_cap)
+        if snapshot_steps:
+            # land chunk boundaries ON snapshot multiples so the cadence
+            # holds even when snapshot_steps > chunk_steps
+            snap = jnp.asarray(snapshot_steps, jnp.int32)
+            limit = jnp.minimum(limit, (step // snap + 1) * snap)
         TW, S_ds, w_ss, th, tl, step = _fast_loop(
             TW, S_ds, w_ss, th, tl, step, limit, cfg, br
         )
@@ -540,9 +548,9 @@ def simulate_fast(
             # the f64 host comparison disagrees in the last bits — avoid a
             # zero-progress spin
             done = True
-        if snapshots is not None:
-            # one snapshot per chunk sync (cadence == snapshot_steps while
-            # running; the final partial chunk contributes the end state)
+        if snapshots is not None and (done or int(step) % snapshot_steps == 0):
+            # snapshot on cadence boundaries (chunk limits are aligned to
+            # them above); the final partial chunk contributes the end state
             Th, Wh, Sh = host_fields()
             snapshots.append((Th, Wh, Sh, sim_time, int(step)))
         if done:

@@ -314,7 +314,7 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
 
 def _stk_eligible(cfg: MGConfig) -> bool:
     """The stacked-aliased V-cycle implements the fused-leg configuration
-    only (Jacobi, 1-4 pre/post smooths, injection restriction).  The
+    only (Jacobi, 1-6 pre/post smooths, injection restriction).  The
     smooth count is a free parameter of the fused kernels: extra sweeps
     happen on the VMEM slab of a DMA-bound pass, so V(3,3)/V(4,4) cycles
     cost the same HBM traffic as V(2,2) while contracting harder (fewer
@@ -343,7 +343,15 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     if ny * nx < PALLAS_MIN_AREA or min(ny, nx) <= cfg.coarse_size:
         import dataclasses
 
-        u = pallas2d.unpad2d(L[0], ny, nx)
+        # assume_zero_u means plane 0 is UNSPECIFIED, not zero: the ds
+        # defect kernel donates its correction input and never writes the
+        # output's plane 0 (ds.defect_pass_stk), so on a real TPU it holds
+        # the previous outer's stale correction.  Start the jnp cycle from
+        # an explicit zero iterate (interpret/CPU runs got zeros by luck).
+        if assume_zero_u:
+            u = jnp.zeros((ny, nx), L.dtype)
+        else:
+            u = pallas2d.unpad2d(L[0], ny, nx)
         f = pallas2d.unpad2d(L[1], ny, nx)
         sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
         u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs)

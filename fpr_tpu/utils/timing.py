@@ -69,6 +69,27 @@ def timed_stats(fn, reps: int = 3) -> TimingStats:
     )
 
 
+def measure_tunnel_overhead(reps: int = 7) -> float:
+    """Median latency of a trivial jitted call: the dev-environment RPC
+    round trip (axon tunnel), which a production TPU host does not pay.
+    Measured 2.5-43 ms depending on the day and drifting hourly — larger
+    than small-grid MG device time, so amortized timings subtract it.
+    Shared by bench.py and the experiment sweeps (one calibration home)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jnp.ones((8, 128), jnp.float32)
+    triv = jax.jit(lambda x: jnp.sum(x * 1.000001))
+    float(triv(x))
+    ts = []
+    for _ in range(max(3, reps)):
+        t0 = time.perf_counter()
+        float(triv(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
 @dataclasses.dataclass(frozen=True)
 class BenchResults:
     delta_t: float          # seconds of timed compute (warmup excluded)

@@ -29,9 +29,43 @@ def test_mg_sharded_ds(capsys):
     assert "2049^2 -> coarse 513^2 [ds]" in out
 
 
+def test_mg_sharded_deep_smoothing(capsys):
+    # the sharded ds tier supports --smooths 1..6 (the deep-smoothed
+    # production configs shard without extra halo traffic); only
+    # out-of-range depths are rejected
+    cli.main(["mg", "--k", "11", "--solver", "ds", "--devices", "8",
+              "--coarse", "dst", "--l", "9", "--smooths", "5",
+              "--platform", "cpu"])
+    assert "[ds]" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="1..6"):
+        cli.main(["mg", "--k", "11", "--solver", "ds", "--devices", "8",
+                  "--smooths", "7", "--platform", "cpu"])
+
+
 def test_ns_fast_guards():
     with pytest.raises(SystemExit, match="f32-only"):
         cli.main(["ns", "--fast", "--f64", "--platform", "cpu"])
+
+
+def test_ns_fast_policy_flag_keeps_production_ladder(monkeypatch):
+    # --policy is irrelevant to the fast tier; passing it must not make
+    # cfg.mg look explicitly provided (which would silently skip the
+    # DST-257/V(3,3) production ladder in fast_mg_default)
+    from fpr_tpu.core.config import MGConfig
+    from fpr_tpu.models import navier_stokes as ns
+
+    seen = {}
+    real = ns.simulate_fast
+
+    def spy(cfg, **kw):
+        seen["mg"] = cfg.mg
+        return real(cfg, **kw)
+
+    monkeypatch.setattr(ns, "simulate_fast", spy)
+    cli.main(["ns", "--nx", "129", "--ny", "65", "--Pr", "0.01",
+              "--tol", "1e-7", "--ttot", "0.001", "--fast", "--policy",
+              "pallas", "--max-steps", "1", "--platform", "cpu"])
+    assert seen["mg"] == MGConfig()  # default in, fast_mg_default decides
 
 
 def test_ns_fast_smoke(capsys):

@@ -198,11 +198,15 @@ def test_simulate_fast_snapshots():
                    tol=1e-7, niters=50, W_init=InitScheme.RANDOM)
     rng = np.random.default_rng(6)
     W0 = rng.standard_normal((65, 65)) * 10.0
-    out = simulate_fast(cfg, W0=W0, max_steps=13, snapshot_steps=4)
+    # chunk_steps < snapshot_steps: cadence must still be snapshot_steps
+    # (chunk boundaries are aligned to snapshot multiples), not chunk_steps
+    out = simulate_fast(cfg, W0=W0, max_steps=13, snapshot_steps=4,
+                        chunk_steps=3)
     assert out.snapshots is not None and len(out.snapshots) >= 2
     steps = [s[4] for s in out.snapshots]
     times = [s[3] for s in out.snapshots]
     assert steps == sorted(steps) and times == sorted(times)
+    assert all(s % 4 == 0 for s in steps[:-1])
     assert steps[-1] == out.steps
     T_last = out.snapshots[-1][0]
     np.testing.assert_array_equal(T_last, out.T)

@@ -223,6 +223,33 @@ def test_vcycle_stk_matches_vcycle_rp(rng, monkeypatch):
         assert float(r_rp) == float(r_stk)
 
 
+def test_vcycle_stk_handoff_ignores_stale_plane0(rng):
+    # on a real TPU the ds defect kernel donates its correction input and
+    # leaves the output's plane 0 UNSPECIFIED (stale previous correction);
+    # the small-grid jnp handoff with assume_zero_u must not read it.
+    # Simulate the staleness by poisoning plane 0 (CPU/interpret runs
+    # happen to get zeros, which is why value tests alone can't catch it).
+    n = 129  # default PALLAS_MIN_AREA -> whole solve is the handoff branch
+    h = 1.0 / (n - 1)
+    cfg = MGConfig(coarse_size=17)
+    f = jnp.asarray(rng.random((n, n)))
+    br = pallas2d._pick_br(n, n, 8)
+    total = pallas2d.padded_rows(n, br)
+    nxp = pallas2d.padded_cols(n)
+    I = lambda a: np.asarray(pallas2d.unpad2d(a, n, n))
+
+    L_clean = jnp.zeros((2, total, nxp), f.dtype).at[1].set(pallas2d.pad2d(f, br))
+    L_stale = L_clean.at[0].set(1e6 * jnp.ones((total, nxp), f.dtype))
+    out_clean, r_clean = multigrid.vcycle_stk(
+        L_clean, n, n, h, 0.0, 1e-8, cfg, assume_zero_u=True
+    )
+    out_stale, r_stale = multigrid.vcycle_stk(
+        L_stale, n, n, h, 0.0, 1e-8, cfg, assume_zero_u=True
+    )
+    np.testing.assert_array_equal(I(out_clean), I(out_stale))
+    assert float(r_clean) == float(r_stale)
+
+
 @pytest.mark.parametrize("ns", [1, 3])
 def test_stk_legs_deep_smoothing(rng, ns):
     # the fused stk legs take the smooth count as a parameter: ns sweeps
