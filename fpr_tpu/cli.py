@@ -97,7 +97,7 @@ def cmd_ns(args):
     cfg = NSConfig(
         nx=args.nx, ny=args.ny, Ra=args.Ra, Pr=args.Pr, beta=args.beta,
         ttot=args.ttot, tol=args.tol, niters=args.niters,
-        mg=mg,
+        mg=mg, mg_auto=not args.no_mg_auto,
     )
     dtype = jnp.float64 if args.f64 else jnp.float32
     state0 = None
@@ -166,10 +166,17 @@ def cmd_mg(args):
     if args.devices > 1 and args.solver != "ds":
         raise SystemExit("--devices>1 requires --solver ds (the sharded "
                          "production tier)")
-    if args.devices > 1 and not (1 <= args.smooths <= 6):
-        raise SystemExit("--devices>1 supports --smooths 1..6 (one 8-row "
-                         "halo exchange per leg absorbs up to 6 in-kernel "
-                         "sweeps)")
+    if args.smooths < 1:
+        raise SystemExit("--smooths must be >= 1 (the convergence check "
+                         "reads the final post-smooth's residual norm)")
+    if args.solver == "ds" and args.smooths > 6:
+        raise SystemExit("--solver ds supports --smooths 1..6 (the fused "
+                         "stk kernels recompute at most PAD-2 = 6 sweeps "
+                         "inside one 8-row halo; deeper smoothing would "
+                         "silently fall off the fused path"
+                         + (", and the sharded tier's one-exchange-per-leg "
+                            "design has the same bound)" if args.devices > 1
+                            else ")"))
     n = 2**args.k + 1
     h = 1.0 / (n - 1)
     cfg = MGConfig(
@@ -269,6 +276,12 @@ def main(argv=None):
         "--fast", action="store_true",
         help="fused-kernel on-device-loop path (simulate_fast): f32 state, "
         "double-single multigrid — the TPU production configuration",
+    )
+    p.add_argument(
+        "--no-mg-auto", action="store_true",
+        help="with --fast: do NOT upgrade the default MG ladder to the "
+        "measured production config (DST-257, V(3,3)); run the true "
+        "default ladder instead",
     )
     p.add_argument(
         "--devices", type=int, default=1,

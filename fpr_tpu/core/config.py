@@ -138,6 +138,12 @@ class NSConfig:
     T_init: InitScheme = InitScheme.COSINE
     W_init: InitScheme = InitScheme.RANDOM
     mg: MGConfig = MGConfig()
+    # simulate_fast only: allow fast_mg_default to upgrade a default
+    # ``mg`` to the measured production ladder (DST-257, V(3,3)).  Set
+    # False to run the true default ladder (coarse 5, V(2,2)) on the fast
+    # path — e.g. for reference-shaped A/B comparisons.  An explicitly
+    # provided ``mg`` always wins regardless of this flag.
+    mg_auto: bool = True
     # "direct": mg_solve in the simulation dtype; "mixed": f64 defect
     # correction around f32 Pallas V-cycles (the TPU path for tight
     # tolerances on large grids — f32 alone can't represent the residual)

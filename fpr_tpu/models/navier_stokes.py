@@ -290,16 +290,25 @@ def fast_mg_default(cfg: NSConfig) -> NSConfig:
     explicit Pr=0.01 5.44 -> 4.25 s (22%), semi 0.229 -> 0.224 s, with
     EXACT step parity (8739/40) in every arm; V(4,4) measured identical
     to V(3,3), so the shallower depth wins on compute.
-    An explicitly provided cfg.mg always wins, and grids with
-    min(ny, nx) <= 129 are left alone (the subtree is the whole solve
-    there, and the sharded path could no longer decompose it).
+    An explicitly provided cfg.mg always wins; cfg.mg_auto=False opts out
+    entirely (the true default ladder then runs on the fast path); grids
+    with min(ny, nx) <= 129 are left alone (the subtree is the whole solve
+    there, and the sharded path could no longer decompose it); and on
+    grids with 129 < min(ny, nx) <= 257 the coarse size is clamped to the
+    next ladder level below the min dimension, so the upgraded config
+    never swallows the whole ladder (simulate_fast_sharded's planner
+    needs at least one shardable level; a full-grid DST on the fine level
+    would also lose the V-cycle's O(N) scaling).
     """
     from fpr_tpu.core.config import CoarseSolver, MGConfig
 
-    if cfg.mg != MGConfig() or min(cfg.ny, cfg.nx) <= 129:
+    if not cfg.mg_auto or cfg.mg != MGConfig() or min(cfg.ny, cfg.nx) <= 129:
         return cfg
+    coarse = 257
+    while coarse >= min(cfg.ny, cfg.nx):
+        coarse = (coarse - 1) // 2 + 1
     return dataclasses.replace(
-        cfg, mg=MGConfig(coarse_size=257, coarse_solver=CoarseSolver.DST,
+        cfg, mg=MGConfig(coarse_size=coarse, coarse_solver=CoarseSolver.DST,
                          pre_smooth=3, post_smooth=3)
     )
 

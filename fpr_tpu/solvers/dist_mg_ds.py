@@ -432,6 +432,10 @@ def _build_sharded(plan, mesh, axis, h, tol, niters, cfg, inner_cycles,
             f_blk, NamedSharding(mesh, spec_f)
         )
         u_st, r_rms, it = body(f_blk, f_rms, c)
+        from fpr_tpu.solvers.multigrid import _warn_unconverged
+
+        _warn_unconverged("mg_solve_ds_sharded", r_rms, tol * f_rms, it,
+                          niters, apply_bcs)
         if not gather_result:
             return u_st, r_rms, it
         # assemble the global hi/lo pair from the sharded stack

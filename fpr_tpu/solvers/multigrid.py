@@ -48,6 +48,55 @@ from fpr_tpu.core.grid import mg_levels
 from fpr_tpu.ops import stencil2d
 
 
+@functools.lru_cache(maxsize=1)
+def _debug_callbacks_supported() -> bool:
+    """The axon PJRT tunnel backend has no host send/recv callbacks
+    (jax.debug.print raises UNIMPLEMENTED at run time), so the
+    non-convergence warnings are compiled out there.  Real TPU/CPU/GPU
+    backends all support them."""
+    try:
+        ver = jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+    return "axon" not in ver
+
+
+def _warn_unconverged(solver: str, r_rms, tolf, it, niters: int,
+                      apply_bcs: bool = False):
+    """Emit a runtime warning when an outer MG loop exits at ``niters``
+    still above tolerance (the reference warns in the same situation,
+    multigrid.jl:78-80 "Couldn't converge...").
+
+    The one systematic way to hit this is a COLD, weakly-shifted solve
+    with apply_bcs=True: the correction V-cycles smooth the side columns
+    as zero-Dirichlet while the true correction satisfies Neumann there
+    (only the transfers apply the copies), degrading the contraction to
+    ~0.75/cycle — verified reference-semantics behavior (the f64
+    mg_solve with per-iteration BC application stagnates identically),
+    see docs/part2.md.  The NS solves (strong Helmholtz shifts + warm
+    starts) never hit it.  jax.debug.print works under jit; the check is
+    data-dependent so it costs one predicated callback, nothing when
+    converged.
+    """
+    if not _debug_callbacks_supported():
+        return
+    hint = (
+        " (known cold-BC stagnation: apply_bcs smooths the Neumann side "
+        "columns as Dirichlet-0 — reference-parity behavior, see "
+        "mg_solve_ds_rp's docstring)" if apply_bcs else ""
+    )
+    jax.lax.cond(
+        jnp.logical_and(it >= niters, r_rms >= tolf),
+        lambda ops: jax.debug.print(
+            "WARNING: " + solver + " exited at niters={n} with r_rms "
+            "{r:.3e} >= tol*rms(f) {t:.3e} — NOT converged" + hint,
+            n=niters, r=ops[0], t=ops[1],
+        ),
+        lambda ops: None,
+        (r_rms.astype(jnp.float32), jnp.asarray(tolf, jnp.float32)),
+    )
+
+
 def _smooth_fns(cfg: MGConfig):
     """Resolve (jacobi-or-GS smoother, residual) for the configured policy."""
     if cfg.policy == ExecutionPolicy.PALLAS:
@@ -201,6 +250,7 @@ def mg_solve(
         body,
         (u0, jnp.asarray(jnp.inf, u0.dtype), jnp.asarray(0, jnp.int32)),
     )
+    _warn_unconverged("mg_solve", r_rms, tolf, it, niters, apply_bcs)
     return u, r_rms, it
 
 
@@ -507,6 +557,7 @@ def mg_solve_mixed(
         body,
         (u0, jnp.asarray(jnp.inf, u0.dtype), jnp.asarray(0, jnp.int32)),
     )
+    _warn_unconverged("mg_solve_mixed", r_rms, tolf, it, niters, apply_bcs)
     return u, r_rms, it
 
 
@@ -838,6 +889,10 @@ def mg_solve_ds(
         cfg=cfg, inner_cycles=inner_cycles, apply_bcs=apply_bcs, r0=r0, tol=tol,
         fmg=fmg,
     )
+    # the rp core is the NS fast loop's inner solver (warnings there would
+    # fire per step inside a while_loop) — warn only at this user-facing
+    # entry
+    _warn_unconverged("mg_solve_ds", r_rms, tolf, it, niters, apply_bcs)
     if return_pair:
         # skip the emulated-f64 exit combine (26 ms at 4097^2): the hi/lo
         # pair IS the framework's native ~48-bit result representation

@@ -42,6 +42,36 @@ def test_mg_sharded_deep_smoothing(capsys):
                   "--smooths", "7", "--platform", "cpu"])
 
 
+def test_mg_smooths_guards_all_paths():
+    # --smooths 0 breaks every solver (the convergence check reads the
+    # final post-smooth's norm) and --smooths 7 silently drops the ds tier
+    # off the fused stk path — both rejected up front (advisor round 3)
+    with pytest.raises(SystemExit, match="must be >= 1"):
+        cli.main(["mg", "--k", "7", "--smooths", "0", "--platform", "cpu"])
+    with pytest.raises(SystemExit, match="1..6"):
+        cli.main(["mg", "--k", "7", "--solver", "ds", "--smooths", "7",
+                  "--platform", "cpu"])
+
+
+def test_ns_no_mg_auto(monkeypatch):
+    # --no-mg-auto runs the true default ladder on the fast path
+    from fpr_tpu.core.config import MGConfig
+    from fpr_tpu.models import navier_stokes as ns
+
+    seen = {}
+    real = ns.simulate_fast
+
+    def spy(cfg, **kw):
+        seen["cfg"] = ns.fast_mg_default(cfg)
+        return real(cfg, **kw)
+
+    monkeypatch.setattr(ns, "simulate_fast", spy)
+    cli.main(["ns", "--nx", "257", "--ny", "257", "--Pr", "0.01",
+              "--tol", "1e-5", "--ttot", "0.001", "--fast", "--no-mg-auto",
+              "--max-steps", "1", "--platform", "cpu"])
+    assert seen["cfg"].mg == MGConfig()
+
+
 def test_ns_fast_guards():
     with pytest.raises(SystemExit, match="f32-only"):
         cli.main(["ns", "--fast", "--f64", "--platform", "cpu"])

