@@ -45,6 +45,11 @@ def main():
                          "V-cycle legs (extra sweeps are ~free on the "
                          "DMA-bound kernels and contract harder; rows are "
                          "labeled ds_vNN when != 2)")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                    help="force the backend (cpu rows feed the "
+                         "CPU<->accelerator crossover analysis, "
+                         "docs/part2.md — the reference's "
+                         "bench_multigrid_cpu.csv analog)")
     args = ap.parse_args()
     if args.out is None:  # the two modes have different schemas
         args.out = (
@@ -55,6 +60,9 @@ def main():
 
     import jax
 
+    if args.platform:
+        # env vars alone are clobbered by the axon sitecustomize
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -117,7 +125,9 @@ def main():
                 def body(c):
                     i, acc = c
                     _, r, _ = solve(b + 0.0 * acc)
-                    return i + 1, acc + r
+                    # cast: direct/mixed return an f64 r; the carry dtype
+                    # must stay fixed across iterations
+                    return i + 1, acc + r.astype(jnp.float32)
 
                 return jax.lax.while_loop(
                     cond, body, (jnp.int32(0), jnp.float32(0.0))
@@ -131,7 +141,7 @@ def main():
                 acc = jnp.float32(0.0)
                 for _ in range(N):
                     _, r, _ = solve(b + 0.0 * acc)
-                    acc = acc + r
+                    acc = acc + r.astype(jnp.float32)
                 return acc
 
             run = lambda: float(many_unrolled(b))
@@ -165,6 +175,12 @@ def main():
                     lambda: krylov.cg(b, h, h, 0.0, args.tol, 40000)),
                 "mg_pcg": lambda u0, b, _: (
                     lambda: krylov.mg_preconditioned_cg(b, h, 0.0, args.tol, 100)),
+                # the production-tier north star: ds PCG preconditioned by
+                # the stk V-cycle, true-residual replacement (round 4)
+                "mg_pcg_ds": lambda u0, b, b32: (
+                    lambda: krylov.mg_pcg_ds_jit(
+                        b32, h, 0.0, args.tol, 60, return_pair=True,
+                        cfg=ds_cfg)),
             }
             for name, mk_fn in configs.items():
                 if args.wp_solvers and name not in args.wp_solvers.split(","):
@@ -186,7 +202,7 @@ def main():
                     # closure bakes b/u0 into the HLO as constants — at
                     # k=13 that is ~4.3 GB of literal data and the remote
                     # compile helper rejects the request with HTTP 413.
-                    if name == "ds":
+                    if name in ("ds", "mg_pcg_ds"):
                         u0 = b = None
                         b32 = rhs(n, jnp.float32)
                     else:
@@ -201,6 +217,14 @@ def main():
                         device_s = amortized_device(
                             lambda bb: multigrid.mg_solve_ds(
                                 None, bb, h, 0.0, args.tol, 30,
+                                return_pair=True, cfg=ds_cfg,
+                            ),
+                            b32, k,
+                        )
+                    elif name == "mg_pcg_ds" and backend == "tpu":
+                        device_s = amortized_device(
+                            lambda bb: krylov.mg_pcg_ds(
+                                bb, h, 0.0, args.tol, 60,
                                 return_pair=True, cfg=ds_cfg,
                             ),
                             b32, k,
@@ -279,14 +303,32 @@ def main():
                         fn = lambda: multigrid.mg_solve_mixed_jit(
                             u0, b, h, 0.0, args.tol, 30, cfg=cfg
                         )
+                        def measure_device():
+                            return amortized_device(
+                                lambda bb: multigrid.mg_solve_mixed(
+                                    u0, bb, h, 0.0, args.tol, 30, cfg=cfg
+                                ),
+                                b, k,
+                            )
                     else:
                         b = rhs(n, jnp.float64)
                         u0 = jnp.zeros((n, n), jnp.float64)
                         fn = lambda: multigrid.mg_solve_jit(
                             u0, b, h, 0.0, args.tol, 30, cfg=cfg
                         )
+                        def measure_device():
+                            return amortized_device(
+                                lambda bb: multigrid.mg_solve(
+                                    u0, bb, h, 0.0, args.tol, 30, cfg=cfg
+                                ),
+                                b, k,
+                            )
                     st, (u, r, it) = timed(fn)
-                    if solver == "ds" and backend == "tpu":
+                    # device-true per-solve time for EVERY tier: the ~30 ms
+                    # per-call tunnel RPC floors all sub-100 ms wall rows
+                    # (round-3 finding — the committed small-k walls were
+                    # measuring the tunnel, not the chip)
+                    if backend == "tpu":
                         device_s = measure_device()
                 except Exception as exc:
                     print(f"k={k} l={l} {coarse.value} {solver}: FAILED {type(exc).__name__}")

@@ -141,7 +141,7 @@ def _stencil_kernel(
             results.at[s], out_hbm.at[pl.ds(block * BR + PAD, BR), :], sem_out.at[s]
         )
 
-    use_f = mode != "matvec"
+    use_f = mode not in ("matvec", "matvec_dot")
 
     @pl.when(i == 0)
     def _():
@@ -159,9 +159,10 @@ def _stencil_kernel(
     if use_f:
         copy_f(i, slot).wait()
 
-    @pl.when(i >= 2)
-    def _():
-        copy_out(i - 2, slot).wait()
+    if mode != "matvec_dot":
+        @pl.when(i >= 2)
+        def _():
+            copy_out(i - 2, slot).wait()
 
     slab = slabs.at[slot]
     center = slab[PAD : PAD + BR, :]
@@ -216,9 +217,21 @@ def _stencil_kernel(
                 acc_ref[0, 0] = jnp.asarray(0.0, dtype)
 
             acc_ref[0, 0] += jnp.sum(res2 * res2)
-    elif mode == "matvec":
+    elif mode in ("matvec", "matvec_dot"):
         val = (up + dn + lf + rt - 4.0 * center) * _h2 - c * center
         out = jnp.where(interior, val, jnp.asarray(0.0, dtype))
+        if with_norm or mode == "matvec_dot":
+            # fused dot: acc = sum(x * Ax) over the interior (out is zero
+            # elsewhere) — the PCG step's curvature p.Ap.  matvec_dot is
+            # the dot-ONLY form: the PCG with true-residual replacement
+            # never consumes Ax itself (the ds defect pass recomputes the
+            # residual), so the output array is left unwritten — the pass
+            # reads one plane and writes nothing but the SMEM scalar.
+            @pl.when(i == 0)
+            def _():
+                acc_ref[0, 0] = jnp.asarray(0.0, dtype)
+
+            acc_ref[0, 0] += jnp.sum(center * out)
     else:
         fblk = fbufs[slot, :, :]
         res = jnp.where(
@@ -237,16 +250,17 @@ def _stencil_kernel(
 
             acc_ref[0, 0] += jnp.sum(res * res)
 
-    results[slot, :, :] = out
-    copy_out(i, slot).start()
+    if mode != "matvec_dot":
+        results[slot, :, :] = out
+        copy_out(i, slot).start()
 
-    @pl.when(i == n_blocks - 1)
-    def _():
-        @pl.when(n_blocks >= 2)
+        @pl.when(i == n_blocks - 1)
         def _():
-            copy_out(i - 1, nslot).wait()
+            @pl.when(n_blocks >= 2)
+            def _():
+                copy_out(i - 1, nslot).wait()
 
-        copy_out(i, slot).wait()
+            copy_out(i, slot).wait()
 
 
 @functools.lru_cache(maxsize=256)
@@ -863,6 +877,27 @@ def matvec(x, hx, hy, c):
     br = _br_for(x)
     out, _ = _call("matvec", pad2d(x, br), None, ny, nx, br, hx, c)
     return unpad2d(out, ny, nx)
+
+
+def matvec_rp(x_rp, ny, nx, br, h, c, with_dot=False):
+    """Row-padded (nabla^2 - c) x.  with_dot additionally returns the
+    fused interior dot sum(x * Ax) — the PCG curvature p.Ap in the same
+    HBM pass (reference matvec: krylov.jl:7-34, which computes no dot;
+    the host-summed sum(p.*p_hat) there is krylov.jl:69)."""
+    out, acc = _call("matvec", x_rp, None, ny, nx, br, h, c,
+                     with_norm=with_dot)
+    if with_dot:
+        return out, acc
+    return out
+
+
+def matvec_dot_rp(x_rp, ny, nx, br, h, c):
+    """sum(x * (nabla^2 - c) x) over the interior, WITHOUT materializing
+    Ax: one plane of HBM read, one SMEM scalar out.  The PCG step's
+    curvature — its residual comes from the ds defect pass, so Ax itself
+    is dead and this pass skips the write entirely."""
+    _, acc = _call("matvec_dot", x_rp, None, ny, nx, br, h, c)
+    return acc
 
 
 

@@ -21,6 +21,8 @@ algorithm.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -129,3 +131,143 @@ def mg_preconditioned_cg(
     )
     r_rms = jnp.sqrt(jnp.sum(r * r) / b.size)
     return x, r_rms, i
+
+
+# ---------------------------------------------------------------------------
+# Production-tier MG-PCG: double-single accuracy, fused-Pallas V-cycle
+# preconditioner, true-residual replacement — the BASELINE north-star
+# composition at the framework's fastest tier (the f64 version above is a
+# correctness reference; at k=13 it measured ~200x slower than the ds MG).
+# ---------------------------------------------------------------------------
+
+
+def mg_pcg_ds(
+    f,
+    h: float,
+    c,
+    tol: float,
+    niters: int,
+    cfg: MGConfig = MGConfig(),
+    return_pair: bool = False,
+):
+    """Flexible (Polak-Ribiere) CG on (nabla^2 - c) u = f, preconditioned
+    by one stacked-aliased Pallas V-cycle, with the iterate in double-single
+    (~48-bit) precision and TRUE-residual replacement:
+
+    - z = M^-1 r is ``vcycle_stk`` from zero (the same fused legs as
+      ``mg_solve_ds``; falls back to ``vcycle_rp`` for non-stk configs);
+    - the curvature p.Ap comes from a dot-only matvec kernel
+      (``pallas2d.matvec_dot_rp``) that never materializes Ap;
+    - instead of the f32 recurrence r -= alpha*Ap (whose rounding floor
+      eps*8|u|/h^2 sits far above tol*rms(f) on fine grids), each step
+      folds alpha*p into the ds iterate and re-evaluates the residual at
+      ~48 bits in ONE fused HBM pass (``ds.defect_pass`` with
+      scale = -alpha) — the returned norm is the true defect, so
+      convergence is judged on exactly the same quantity as
+      ``mg_solve_ds``;
+    - beta is flexible Polak-Ribiere, beta = z_new.(r_new - r_old) /
+      (z_old.r_old), because the injection/bilinear V-cycle is not
+      symmetric (see ``mg_preconditioned_cg``).
+
+    Zero initial guess (as the reference cg!, krylov.jl:62).  Returns
+    (u, r_rms, iters); with return_pair the hi/lo f32 pair.
+
+    Reference provenance: composes cg! (krylov.jl:55-91) with the V-cycle
+    (multigrid.jl:91-170) — a configuration the reference benchmarks only
+    as MG-alone vs CG-at-coarse-level (multigrid_bench.jl:27).
+    """
+    from fpr_tpu.ops import ds as dsm
+    from fpr_tpu.ops import pallas2d
+    from fpr_tpu.solvers.multigrid import _stk_eligible, vcycle_rp, vcycle_stk
+
+    f32 = jnp.float32
+    ny, nx = f.shape
+    br = pallas2d._pick_br(ny, nx, 4)
+    total = pallas2d.padded_rows(ny, br)
+    nxp = pallas2d.padded_cols(nx)
+
+    if f.dtype == jnp.float64:
+        hi, lo = dsm.to_ds(f)
+        f_ds = jnp.stack([pallas2d.pad2d(hi, br), pallas2d.pad2d(lo, br)])
+    else:
+        f_ds = pallas2d.pad2d(f.astype(f32), br)[None]
+    f_rms = stencil2d.rms(f)
+    tolf = jnp.asarray(tol * f_rms, f32)
+    stk = _stk_eligible(cfg)
+
+    def precond(r_rp):
+        if stk:
+            L = jnp.zeros((2, total, nxp), f32).at[1].set(r_rp)
+            L, _ = vcycle_stk(L, ny, nx, h, c, tol, cfg, assume_zero_u=True)
+            return L[0]
+        z, _ = vcycle_rp(
+            jnp.zeros((total, nxp), f32), r_rp, ny, nx, h, c, tol, cfg,
+            assume_zero_u=True,
+        )
+        return z
+
+    u_ds = jnp.zeros((2, total, nxp), f32)
+    r0 = -f_ds[0]  # zero guess: r = A*0 - f (hi part; |lo| is below f32)
+
+    def cond(carry):
+        _, _, _, _, _, r_rms, it = carry
+        return jnp.logical_and(it < niters, r_rms >= tolf)
+
+    PAD = pallas2d.PAD
+
+    def body(carry):
+        u_ds, r, r_old, p, rz_old, _, it = carry
+        z = precond(r)
+        # both dots in one fused XLA pass over (z, r, r_old), restricted
+        # to the physical rows: the defect kernel never writes the
+        # top-PAD ghost rows of its r output (unspecified on real TPUs,
+        # NaN in interpret mode), and 0 * garbage would poison a
+        # whole-array sum
+        zp = z[PAD : PAD + ny]
+        s1 = jnp.sum(zp * r[PAD : PAD + ny])
+        s2 = jnp.sum(zp * r_old[PAD : PAD + ny])
+        beta = (s1 - s2) / rz_old
+        p = z + beta * p
+        pAp = pallas2d.matvec_dot_rp(p, ny, nx, br, h, c)
+        alpha = s1 / pAp
+        # sign care: this framework's residual convention is r = A u - f
+        # (the NEGATED textbook r), so z, p carry the negated directions
+        # and the textbook update x += alpha*p_std becomes u -= alpha*p —
+        # which is the defect kernel's native u' = u - scale*e with
+        # scale = +alpha (all of CG's scalars are products of two negated
+        # quantities and keep their textbook values)
+        u_ds, r_new, r_rms = dsm.defect_pass(
+            u_ds, f_ds, p, alpha, ny, nx, br, h, c
+        )
+        return u_ds, r_new, r, p, s1, r_rms, it + 1
+
+    # r_old = r0 makes the first beta exactly 0 (s1 == s2) with p = 0, so
+    # the first direction is p = z as in textbook PCG; rz_old's initial
+    # value is then never consumed (multiplied into beta * p = 0)
+    u_ds, _, _, _, _, r_rms, it = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            u_ds, r0, r0, jnp.zeros((total, nxp), f32),
+            jnp.asarray(1.0, f32), f_rms.astype(f32),
+            jnp.asarray(0, jnp.int32),
+        ),
+    )
+    from fpr_tpu.solvers.multigrid import _warn_unconverged
+
+    _warn_unconverged("mg_pcg_ds", r_rms, tolf, it, niters)
+    hi = pallas2d.unpad2d(u_ds[0], ny, nx)
+    lo = pallas2d.unpad2d(u_ds[1], ny, nx)
+    if return_pair:
+        return (hi, lo), r_rms, it
+    return dsm.from_ds(hi, lo, dtype=f.dtype), r_rms.astype(f.dtype), it
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "tol", "niters", "cfg", "return_pair")
+)
+def mg_pcg_ds_jit(f, h, c, tol, niters, cfg=MGConfig(), return_pair=False):
+    """Jitted zero-initial-guess mg_pcg_ds (the benchmark entry point)."""
+    return mg_pcg_ds(
+        f, h, c, tol, niters, cfg=cfg, return_pair=return_pair
+    )
