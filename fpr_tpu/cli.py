@@ -203,10 +203,21 @@ def cmd_mg(args):
             from fpr_tpu.parallel.mesh import make_mesh
             from fpr_tpu.solvers import dist_mg_ds
 
-            mesh = make_mesh((args.devices,), ("y",))
-            _orig = lambda: dist_mg_ds.mg_solve_ds_sharded(
-                b, h, 0.0, args.tol, 30, mesh, cfg=cfg
-            )
+            if args.mesh:
+                ndy, ndx = (int(v) for v in args.mesh.lower().split("x"))
+                if ndy * ndx != args.devices:
+                    raise SystemExit(
+                        f"--mesh {args.mesh} needs {ndy * ndx} devices, "
+                        f"--devices says {args.devices}")
+                mesh2 = make_mesh((ndy, ndx), ("y", "x"))
+                _orig = lambda: dist_mg_ds.mg_solve_ds_sharded_2d(
+                    b, h, 0.0, args.tol, 30, mesh2, cfg=cfg
+                )
+            else:
+                mesh = make_mesh((args.devices,), ("y",))
+                _orig = lambda: dist_mg_ds.mg_solve_ds_sharded(
+                    b, h, 0.0, args.tol, 30, mesh, cfg=cfg
+                )
         else:
             _orig = lambda: multigrid.mg_solve_ds_jit(
                 b, h, 0.0, args.tol, 30, cfg=cfg, return_pair=True
@@ -316,6 +327,13 @@ def main(argv=None):
         "--devices", type=int, default=1,
         help="with --solver ds: row-shard the solve over a 1D device mesh "
         "(solvers/dist_mg_ds — grids beyond one chip's HBM)",
+    )
+    p.add_argument(
+        "--mesh", type=str, default=None, metavar="YxX",
+        help="with --devices N: decompose over a 2D (y, x) device mesh "
+        "instead of rows-only, e.g. --devices 8 --mesh 4x2 (128-lane "
+        "ghost-column slabs; avoids the thin-slab limit at high device "
+        "counts)",
     )
     p.add_argument(
         "--smooths", type=int, default=2,

@@ -50,6 +50,12 @@ def main():
                          "CPU<->accelerator crossover analysis, "
                          "docs/part2.md — the reference's "
                          "bench_multigrid_cpu.csv analog)")
+    ap.add_argument("--refresh-device", action="store_true",
+                    help="fill the empty device_s cells of EXISTING tpu "
+                         "rows in --out (<= --max-k) with the amortized "
+                         "device-true time, instead of running new "
+                         "configs: the per-call tunnel RPC floors every "
+                         "sub-100 ms wall entry (round-3 finding)")
     args = ap.parse_args()
     if args.out is None:  # the two modes have different schemas
         args.out = (
@@ -148,6 +154,62 @@ def main():
         run()  # compile + warm
         st = timed_stats(run, reps=reps)
         return round(max(st.median_s - tunnel_s, 0.0) / N, 5)
+
+    if args.refresh_device:
+        import csv as _csv
+
+        from fpr_tpu.utils.io import update_csv_row
+
+        assert backend == "tpu", "device_s refresh runs on the TPU"
+        with open(args.out) as fh:
+            todo = [
+                r for r in _csv.DictReader(fh)
+                if r["backend"] == "tpu"
+                and not r.get("device_s")
+                and int(r["k"]) <= args.max_k
+                and r["solver"] in ("direct", "mixed", "ds")
+            ]
+        print(f"{len(todo)} rows to refresh")
+        for row in todo:
+            k, l = int(row["k"]), int(row["l"])
+            n = 2**k + 1
+            h = 1.0 / (n - 1)
+            cfg = MGConfig(coarse_size=2**l + 1,
+                           coarse_solver=CoarseSolver(row["coarse"]))
+            try:
+                if row["solver"] == "ds":
+                    b = rhs(n, jnp.float32)
+                    solve = lambda bb: multigrid.mg_solve_ds(
+                        None, bb, h, 0.0, args.tol, 30, cfg=cfg,
+                        return_pair=True)
+                elif row["solver"] == "mixed":
+                    b = rhs(n, jnp.float64)
+                    u0 = jnp.zeros((n, n), jnp.float64)
+                    solve = lambda bb: multigrid.mg_solve_mixed(
+                        u0, bb, h, 0.0, args.tol, 30, cfg=cfg)
+                else:
+                    b = rhs(n, jnp.float64)
+                    u0 = jnp.zeros((n, n), jnp.float64)
+                    solve = lambda bb: multigrid.mg_solve(
+                        u0, bb, h, 0.0, args.tol, 30, cfg=cfg)
+                device_s = amortized_device(solve, b, k)
+            except Exception as exc:
+                msg = str(exc).splitlines()[0][:160] if str(exc) else ""
+                print(f"refresh k={k} l={l} {row['coarse']} {row['solver']}: "
+                      f"FAILED {type(exc).__name__}: {msg}")
+                jax.clear_caches()
+                continue
+            update_csv_row(
+                args.out,
+                dict(k=k, l=l, coarse=row["coarse"], solver=row["solver"],
+                     backend="tpu"),
+                dict(device_s=device_s),
+            )
+            print(f"refresh k={k} l={l} {row['coarse']} {row['solver']}: "
+                  f"device_s={device_s}")
+            if k >= 12:
+                jax.clear_caches()
+        return
 
     if args.workprec:
         for k in range(args.min_k, args.max_k + 1):

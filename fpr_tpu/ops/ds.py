@@ -150,7 +150,7 @@ def _defect_kernel(
     scal_ref, u_hbm, f_hbm, e_hbm, uout_hbm, r32_hbm, acc_ref,
     uslabs, fbufs, ebufs, ures, rres, sem_u, sem_f, sem_e, sem_uo, sem_r,
     *, BR, ny, nx, nxp, inv_h2, c_zero, with_update, apply_bcs, f_single,
-    velocity_max, field_sumsq, inv2h, stk_e=False,
+    velocity_max, field_sumsq, inv2h, stk_e=False, own_lanes=None,
 ):
     """One grid step: ds update + ds residual + norm on a BR-row block.
 
@@ -276,6 +276,9 @@ def _defect_kernel(
     uh = uslabs[uslot, 0, :, :]
     ul = uslabs[uslot, 1, :, :]
     off = scal_ref[3, 0].astype(jnp.int32)
+    # global column of lane 0 (0 single-device; negative on a 2D mesh's
+    # left-edge shards, whose ghost lanes sit before the domain)
+    coff = scal_ref[4, 0].astype(jnp.int32)
 
     if with_update:
         # u' = u - scale * e on the FULL extended window (the halo rows are
@@ -290,7 +293,7 @@ def _defect_kernel(
         # (Dirichlet rows first, Neumann column copies second)
         E_ = BR + 2 * PAD
         gye = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E_, nxp), 0)
-        gxe = jax.lax.broadcasted_iota(jnp.int32, (E_, nxp), 1)
+        gxe = coff + jax.lax.broadcasted_iota(jnp.int32, (E_, nxp), 1)
         onef = jnp.asarray(1.0, jnp.float32)
         zerof = jnp.asarray(0.0, jnp.float32)
         drow = (gye == 0) | (gye == ny - 1)
@@ -350,9 +353,18 @@ def _defect_kernel(
         r = rs + (re + (tl[blk, :] - fbufs[slot, 1, :, :]))
 
     gy = off + i * BR + jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 0)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BR, nxp), 1)
+    gx = coff + lane
     interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
     r = jnp.where(interior, r, jnp.asarray(0.0, jnp.float32))
+    # reductions must cover each cell exactly ONCE across shards: ghost
+    # lanes of a 2D-mesh shard are globally-interior cells owned by the
+    # x-neighbor, so acc sums are restricted to the owned lane window
+    # (full width single-device)
+    if own_lanes is not None:
+        owned = interior & (lane >= own_lanes[0]) & (lane < own_lanes[1])
+    else:
+        owned = interior
 
     ures[slot, 0, :, :] = uh[blk, :]
     ures[slot, 1, :, :] = ul[blk, :]
@@ -371,12 +383,15 @@ def _defect_kernel(
         acc_ref[2, 0] = jnp.asarray(0.0, jnp.float32)
         acc_ref[3, 0] = jnp.asarray(0.0, jnp.float32)
 
-    acc_ref[0, 0] += jnp.sum(r * r)
+    acc_ref[0, 0] += jnp.sum(
+        jnp.where(owned, r, jnp.asarray(0.0, jnp.float32)) ** 2
+    )
 
     if field_sumsq:
         # sum of the updated field's squares (hi part; pads are zero), so a
         # consumer needing tol*rms(u') skips a standalone reduction pass
-        acc_ref[3, 0] += jnp.sum(uh[blk, :] * uh[blk, :])
+        ub = jnp.where(owned, uh[blk, :], jnp.asarray(0.0, jnp.float32))
+        acc_ref[3, 0] += jnp.sum(ub * ub)
 
     if velocity_max:
         # curl maxima of the UPDATED field (the NS adaptive-dt inputs,
@@ -389,8 +404,8 @@ def _defect_kernel(
         lf = jnp.concatenate([uh[blk, :1], uh[blk, :-1]], axis=1)
         rt = jnp.concatenate([uh[blk, 1:], uh[blk, -1:]], axis=1)
         vy = (rt - lf) * i2h
-        vx = jnp.where(interior, jnp.abs(vx), jnp.asarray(0.0, jnp.float32))
-        vy = jnp.where(interior, jnp.abs(vy), jnp.asarray(0.0, jnp.float32))
+        vx = jnp.where(owned, jnp.abs(vx), jnp.asarray(0.0, jnp.float32))
+        vy = jnp.where(owned, jnp.abs(vy), jnp.asarray(0.0, jnp.float32))
         acc_ref[1, 0] = jnp.maximum(acc_ref[1, 0], jnp.max(vx))
         acc_ref[2, 0] = jnp.maximum(acc_ref[2, 0], jnp.max(vy))
 
@@ -418,7 +433,8 @@ def _defect_kernel(
 @functools.lru_cache(maxsize=128)
 def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
                   apply_bcs=False, f_single=False, velocity_max=False,
-                  field_sumsq=False, inv2h=0.0, ny_mask=None, stk_e=False):
+                  field_sumsq=False, inv2h=0.0, ny_mask=None, stk_e=False,
+                  nx_mask=None, own_lanes=None):
     total = padded_rows(ny, layout_br)
     nxp = padded_cols(nx)
     # the ds kernel keeps ~15 live (E, nxp) f32 planes (5 double-buffered
@@ -444,11 +460,12 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
     assert n_blocks * BR == total - 2 * PAD, (total, layout_br, BR)
     kernel = functools.partial(
         _defect_kernel,
-        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny,
+        nx=nx_mask if nx_mask is not None else nx, nxp=nxp,
         inv_h2=inv_h2, c_zero=c_zero, with_update=with_update,
         apply_bcs=apply_bcs, f_single=f_single,
         velocity_max=velocity_max, field_sumsq=field_sumsq, inv2h=inv2h,
-        stk_e=stk_e,
+        stk_e=stk_e, own_lanes=own_lanes,
     )
     f32 = jnp.float32
     fplanes = 1 if f_single else 2
@@ -477,7 +494,7 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((4, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((5, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             pl.BlockSpec((fplanes, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             e_in,
@@ -518,8 +535,8 @@ def _build_defect(ny, nx, layout_br, inv_h2, c_zero, with_update, interpret,
     )
 
 
-def _defect_scalars(c, h, scale, row_off):
-    """(4, 1) SMEM scalars [scale, C_hi, C_lo, row_off] for the defect
+def _defect_scalars(c, h, scale, row_off, col_off=0):
+    """(5, 1) SMEM scalars [scale, C_hi, C_lo, row_off, col_off] for the defect
     kernel.  C = 4 + c h^2 split to a ds scalar: in f64 at trace time if c
     is a Python scalar; via f64 rounding if c is a traced f64; via
     error-free transformations if c is a traced f32 (the TPU
@@ -544,14 +561,15 @@ def _defect_scalars(c, h, scale, row_off):
         C_lo = (C64 - C_hi.astype(C64.dtype)).astype(jnp.float32)
     return jnp.stack(
         [jnp.asarray(scale, jnp.float32), C_hi, C_lo,
-         jnp.asarray(row_off, jnp.float32)]
-    ).reshape(4, 1)
+         jnp.asarray(row_off, jnp.float32), jnp.asarray(col_off, jnp.float32)]
+    ).reshape(5, 1)
 
 
 def defect_pass_stk(u_ds, f_ds, L, scale, ny, nx, br, h, c,
                     apply_bcs=False, f_single=False, velocity_max=False,
                     field_sumsq=False, row_off=0, ny_mask=None,
-                    raw_sumsq=False, with_update=True):
+                    raw_sumsq=False, with_update=True, col_off=0,
+                    nx_mask=None, own_lanes=None):
     """defect_pass on the stacked level state: e = L[0], and the new
     defect is written INTO plane 1 of the (donated) L.  Both u_ds and L
     are aliased through — the caller's solver loop is then a pure
@@ -571,9 +589,10 @@ def defect_pass_stk(u_ds, f_ds, L, scale, ny, nx, br, h, c,
         ny, nx, br, inv_h2, c_zero, with_update, not _on_tpu(),
         apply_bcs=bool(apply_bcs), f_single=bool(f_single),
         velocity_max=bool(velocity_max), field_sumsq=bool(field_sumsq),
-        inv2h=0.5 / float(h), ny_mask=ny_mask, stk_e=True,
+        inv2h=0.5 / float(h), ny_mask=ny_mask, stk_e=True, nx_mask=nx_mask,
+        own_lanes=own_lanes,
     )
-    scal = _defect_scalars(c, h, scale, row_off)
+    scal = _defect_scalars(c, h, scale, row_off, col_off)
     u_out, L_out, acc = call(scal, u_ds, f_ds, L)
     r_rms = acc[0, 0] if raw_sumsq else jnp.sqrt(acc[0, 0] / (nx * ny))
     if velocity_max or field_sumsq:
@@ -583,7 +602,8 @@ def defect_pass_stk(u_ds, f_ds, L, scale, ny, nx, br, h, c,
 
 def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
                 apply_bcs=False, f_single=False, velocity_max=False,
-                field_sumsq=False, row_off=0, ny_mask=None, raw_sumsq=False):
+                field_sumsq=False, row_off=0, ny_mask=None, raw_sumsq=False,
+                col_off=0, nx_mask=None, own_lanes=None):
     """Fused: u' = u - scale*e (ds), [BCs(u')], r = A u' - f (ds), sumsq(r_hi).
 
     u_ds: (2, padded_rows, padded_cols) f32 hi/lo stack; f_ds likewise, or
@@ -606,9 +626,10 @@ def defect_pass(u_ds, f_ds, e_rp, scale, ny, nx, br, h, c, with_update=True,
         ny, nx, br, inv_h2, c_zero, with_update, not _on_tpu(),
         apply_bcs=bool(apply_bcs), f_single=bool(f_single),
         velocity_max=bool(velocity_max), field_sumsq=bool(field_sumsq),
-        inv2h=0.5 / float(h), ny_mask=ny_mask,
+        inv2h=0.5 / float(h), ny_mask=ny_mask, nx_mask=nx_mask,
+        own_lanes=own_lanes,
     )
-    scal = _defect_scalars(c, h, scale, row_off)
+    scal = _defect_scalars(c, h, scale, row_off, col_off)
     u_out, r32, acc = call(scal, u_ds, f_ds, e_rp)
     # raw_sumsq: the distributed solver psums the raw local sum before
     # normalizing by the GLOBAL cell count

@@ -394,7 +394,10 @@ def _smooth2r_kernel(
     w = jnp.asarray(alpha, dtype) * (jnp.asarray(h * h, dtype) / C)
 
     gy = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+    # coff: global column of lane 0 (0 single-device; negative on a 2D
+    # mesh's left-edge shards, whose ghost lanes sit before the domain)
+    coff = c_ref[2, 0].astype(jnp.int32)
+    gx = coff + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
     interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
 
     def res_of(V):
@@ -442,16 +445,18 @@ def _smooth2r_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
-               zero_u=False, ny_mask=None, ns=2):
-    # ny drives the LOCAL layout (rows owned by this shard); ny_mask is the
-    # GLOBAL interior bound (== ny single-device) checked against off + row
+               zero_u=False, ny_mask=None, ns=2, nx_mask=None):
+    # ny/nx drive the LOCAL layout (cells owned by this shard, plus ghost
+    # columns on a 2D mesh); ny_mask/nx_mask are the GLOBAL interior
+    # bounds (== ny/nx single-device) checked against off + row / coff + lane
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
     n_blocks = (total - 2 * PAD) // BR
     kernel = functools.partial(
         _smooth2r_kernel,
-        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny,
+        nx=nx_mask if nx_mask is not None else nx, nxp=nxp,
         h=h, alpha=alpha, split_res=split_res, zero_u=zero_u, ns=ns,
     )
     scratch = dtype.itemsize * nxp * (
@@ -461,7 +466,7 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
         ],
@@ -489,11 +494,16 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
     )
 
 
-def _scal2(c, row_off, dtype):
-    """(2, 1) SMEM scalars: [c, row_off] (row_off exact in f32 <= 2^24)."""
+def _scal2(c, row_off, dtype, col_off=0):
+    """(3, 1) SMEM scalars: [c, row_off, col_off] (offsets are the shard's
+    global row/column index of local row 0 / lane 0 — exact in f32 up to
+    2^24; col_off includes the ghost-column shift, so lane 0 maps to a
+    NEGATIVE global column on the leftmost shard and the interior mask
+    rejects it)."""
     return jnp.stack(
-        [jnp.asarray(c, dtype), jnp.asarray(row_off, dtype)]
-    ).reshape(2, 1)
+        [jnp.asarray(c, dtype), jnp.asarray(row_off, dtype),
+         jnp.asarray(col_off, dtype)]
+    ).reshape(3, 1)
 
 
 def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
@@ -512,7 +522,7 @@ def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
 
 
 def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False,
-                      row_off=0, ny_mask=None, ns=2):
+                      row_off=0, ny_mask=None, ns=2, col_off=0, nx_mask=None):
     """smooth2r with the residual plane parity-split per block ([even rows;
     odd rows]) — the V-cycle fast path.  Returns (u_rp'', res_ps) where
     res_ps feeds transfer.restrict_ps (the even halves ARE the injected
@@ -528,12 +538,15 @@ def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False,
     row 0.  The shard's PAD ghost rows must hold the neighbors' boundary
     rows (fpr_tpu.solvers.dist_mg_ds refreshes them via ppermute); one
     8-row exchange supports up to ns = PAD-2 sweeps of in-kernel halo
-    recomputation bitwise."""
+    recomputation bitwise.  On a 2D (y, x) mesh nx is the local layout
+    width INCLUDING ghost columns, nx_mask the global column count, and
+    col_off the global column of lane 0 (negative on left-edge shards)."""
     call = _build_s2r(
         ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
         not _on_tpu(), split_res=True, zero_u=zero_u, ny_mask=ny_mask, ns=ns,
+        nx_mask=nx_mask,
     )
-    out = call(_scal2(c, row_off, u_rp.dtype), u_rp, f_rp)
+    out = call(_scal2(c, row_off, u_rp.dtype, col_off), u_rp, f_rp)
     return out[0], out[1]
 
 
@@ -654,7 +667,8 @@ def _corr_smooth2_kernel(
 
     # --- two chained damped-Jacobi sweeps (as in smooth2) ---
     gy = off + i * BR - PAD + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 0)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
+    coff = c_ref[2, 0].astype(jnp.int32)
+    gx = coff + jax.lax.broadcasted_iota(jnp.int32, (E, nxp), 1)
     interior = (gy > 0) & (gy < ny - 1) & (gx > 0) & (gx < nx - 1)
 
     def res_of(V):
@@ -696,21 +710,22 @@ def _corr_smooth2_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret,
-               ny_mask=None, ns=2):
+               ny_mask=None, ns=2, nx_mask=None):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
     n_blocks = (total - 2 * PAD) // BR
     kernel = functools.partial(
         _corr_smooth2_kernel,
-        BR=BR, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
+        BR=BR, ny=ny_mask if ny_mask is not None else ny,
+        nx=nx_mask if nx_mask is not None else nx, nxp=nxp,
         h=h, alpha=alpha, with_norm=with_norm, ns=ns,
     )
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
             pl.BlockSpec((total, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
             pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
@@ -758,6 +773,7 @@ def corr_rows_needed(ny: int, br: int) -> int:
 def corr_smooth2_raw(
     u_rp, f_rp, corrx_rp, ny, nx, br, h, c,
     alpha=0.8, with_norm=False, row_off=0, ny_mask=None, raw_acc=False, ns=2,
+    col_off=0, nx_mask=None,
 ):
     """corr_smooth2 on a PREBUILT x-interleaved correction buffer: local
     coarse row j (fine-width, x-interleaved) at buffer row PAD + j, with
@@ -769,14 +785,15 @@ def corr_smooth2_raw(
     call = _build_cs2(
         ny, nx, jnp.dtype(u_rp.dtype).name, br,
         float(h), float(alpha), bool(with_norm), corrx_rp.shape[0],
-        not _on_tpu(), ny_mask=ny_mask, ns=ns,
+        not _on_tpu(), ny_mask=ny_mask, ns=ns, nx_mask=nx_mask,
     )
-    out, acc = call(_scal2(c, row_off, u_rp.dtype), u_rp, f_rp, corrx_rp)
+    out, acc = call(_scal2(c, row_off, u_rp.dtype, col_off), u_rp, f_rp,
+                    corrx_rp)
     if not with_norm:
         return out, None
     if raw_acc:
         return out, acc[0, 0]
-    return out, jnp.sqrt(acc[0, 0] / (nx * (ny_mask or ny)))
+    return out, jnp.sqrt(acc[0, 0] / ((nx_mask or nx) * (ny_mask or ny)))
 
 
 def corr_smooth2_rp(
@@ -1117,7 +1134,7 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
         ],
         out_specs=[
@@ -1324,7 +1341,7 @@ def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((2, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 1), lambda i: _im32(0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((2, total, nxp), lambda i: _im32(0, 0, 0), memory_space=pl.ANY),
             pl.BlockSpec((corr_rows, nxp), lambda i: _im32(0, 0), memory_space=pl.ANY),
         ],

@@ -346,6 +346,381 @@ def mg_solve_ds_sharded(
     return solve(f, jnp.asarray(c, jnp.float32))
 
 
+# ---------------------------------------------------------------------------
+# 2D (y, x) mesh decomposition
+#
+# Rows shard as above; columns shard in CPAD=128-lane-aligned slabs (the
+# Mosaic DMA/lane tile), each side of a shard carrying one ghost slab
+# refreshed by a single ppermute pair per array per leg — 128 ghost
+# columns absorb any smooth depth the 8 ghost ROWS allow (ns <= 6), so
+# the communication cadence is identical to the 1D solver.  The fused
+# kernels take a traced global column offset (lane 0 maps to
+# col_off = d_x*nx_l - CPAD, negative on the left edge) and mask against
+# the GLOBAL nx, so per-shard arithmetic stays bitwise equal to the
+# single-device kernels.  This is the part-2 analog of part 1's full
+# Cartesian decomposition (part1_kernel_programming.jl:100-101).
+# ---------------------------------------------------------------------------
+
+CPAD = 128  # ghost columns per side: one lane tile
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardPlan2D:
+    ny: int
+    nx: int
+    ndev_y: int
+    ndev_x: int
+    s: int                    # sharded levels
+    ny_l: int                 # local rows at the fine level
+    nx_l: int                 # local cols at the fine level
+    brs: tuple[int, ...]
+
+    def level(self, m: int):
+        """(ny_l_m, nx_l_m, ny_g_m, nx_g_m, br_m) for sharded level m."""
+        return (
+            self.ny_l >> m,
+            self.nx_l >> m,
+            ((self.ny - 1) >> m) + 1,
+            ((self.nx - 1) >> m) + 1,
+            self.brs[m],
+        )
+
+
+def _br_divisor_w(ny_l_m: int, nxp_loc: int) -> int:
+    """_br_divisor for an explicit local layout width (ghost columns
+    included)."""
+    cap = int(100 * 1024 * 1024 / (8.5 * nxp_loc * 4)) - 2 * PAD
+    cap = max(16, min(512, cap))
+    best = 16
+    for d in range(16, ny_l_m + 1, 16):
+        if ny_l_m % d == 0 and d <= cap:
+            best = d
+    return best
+
+
+def plan_shards_2d(
+    ny: int, nx: int, ndev_y: int, ndev_x: int, cfg: MGConfig,
+    replicate_below: int = 1025,
+) -> ShardPlan2D:
+    levels = mg_levels(nx, ny, cfg.coarse_size)
+    s = 0
+    for m, (nxm, nym) in enumerate(levels):
+        if (
+            nym >= replicate_below
+            and nxm >= max(replicate_below, 2 * CPAD * ndev_x)
+            and m < len(levels) - 1
+        ):
+            s += 1
+        else:
+            break
+    if s < 1:
+        raise ValueError(
+            f"grid {ny}x{nx} too small to 2D-shard over {ndev_y}x{ndev_x} "
+            f"(replicate_below={replicate_below}, column shards need "
+            f">= {2 * CPAD} cols each at every sharded level); use the "
+            "1D row solver or fewer column shards"
+        )
+    align_y = 16 * (1 << (s - 1))
+    ny_l = -(-ny // (ndev_y * align_y)) * align_y
+    align_x = CPAD * (1 << (s - 1))
+    nx_l = -(-nx // (ndev_x * align_x)) * align_x
+    brs = tuple(
+        _br_divisor_w(ny_l >> m, (nx_l >> m) + 2 * CPAD) for m in range(s)
+    )
+    return ShardPlan2D(ny=ny, nx=nx, ndev_y=ndev_y, ndev_x=ndev_x, s=s,
+                       ny_l=ny_l, nx_l=nx_l, brs=brs)
+
+
+def _refresh_x(a, nx_l: int, axis: str):
+    """Refresh the CPAD-lane ghost slabs from the +-1 x-neighbors; global
+    edges get zeros (ppermute's unmatched-destination fill), matching the
+    single-device zero lane pads."""
+    n = lax.axis_size(axis)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    left_face = a[..., :, CPAD : 2 * CPAD]
+    right_face = a[..., :, nx_l : nx_l + CPAD]
+    from_left = lax.ppermute(right_face, axis, fwd)
+    from_right = lax.ppermute(left_face, axis, bwd)
+    a = a.at[..., :, 0:CPAD].set(from_left)
+    a = a.at[..., :, CPAD + nx_l : CPAD + nx_l + CPAD].set(from_right)
+    return a
+
+
+def _refresh2d(a, ny_l: int, nx_l: int, ay: str, ax: str):
+    """Columns first, then full-width rows: the row faces then carry the
+    y-neighbor's freshly-exchanged ghost lanes, so the corner ghost cells
+    hold the diagonal neighbor's values (every shard runs the same
+    program, so the x-exchange is globally complete before any row face
+    is built)."""
+    a = _refresh_x(a, nx_l, ax)
+    return _refresh(a, ny_l, ay)
+
+
+def _pack_local_2d(phys, ny_l: int, br: int, nx_l: int):
+    """Local physical (ny_l, nx_l) -> 2D-shard layout
+    (ny_l + pad rows, CPAD + nx_l + CPAD), zeros in ghosts/pads."""
+    total = padded_rows(ny_l, br)
+    return jnp.pad(phys, ((PAD, total - ny_l - PAD), (CPAD, CPAD)))
+
+
+def _vcycle_dist_2d(e_rp, r_rp, plan: ShardPlan2D, h: float, c, tol: float,
+                    cfg: MGConfig, ay: str, ax: str, assume_zero_u: bool):
+    """One V-cycle on 2D-shard-local operands (trace-time unrolled).
+    Mirrors _vcycle_dist with the column passes shard-aware; apply_bcs is
+    not supported on the 2D mesh (the 1D row solver covers the NS tier)."""
+    alpha = cfg.jacobi_damping
+    assert cfg.smoother is Smoother.JACOBI
+    assert 1 <= cfg.pre_smooth <= 6 and 1 <= cfg.post_smooth <= 6
+    GC = 4  # coarse ghost cols interleaved for the upward leg (8 fine)
+
+    dy = lax.axis_index(ay)
+    dx = lax.axis_index(ax)
+    down = []
+    u, f = e_rp, r_rp
+    zero_u = assume_zero_u
+    for m in range(plan.s):
+        ny_lm, nx_lm, ny_gm, nx_gm, br_m = plan.level(m)
+        h_m = h * (2.0 ** m)
+        roff = dy * ny_lm
+        coff = dx * nx_lm - CPAD
+        nxloc = nx_lm + 2 * CPAD
+        f = _refresh2d(f, ny_lm, nx_lm, ay, ax)
+        if not zero_u:
+            u = _refresh2d(u, ny_lm, nx_lm, ay, ax)
+        u, res_ps = pallas2d.smooth2r_split_rp(
+            u, f, ny_lm, nxloc, br_m, h_m, c, alpha,
+            zero_u=zero_u, row_off=roff, ny_mask=ny_gm, ns=cfg.pre_smooth,
+            col_off=coff, nx_mask=nx_gm,
+        )
+        down.append((u, f, (ny_lm, nx_lm, ny_gm, nx_gm, br_m, h_m, roff, coff)))
+        # injection: even block-halves (in-kernel row pass) + local column
+        # decimation (offsets are even at every level, so local parity ==
+        # global parity); global-boundary/dead-tail residuals are already
+        # masked to zero in-kernel
+        nxp_loc = res_ps.shape[-1]
+        n_blocks = ny_lm // br_m
+        even = (
+            res_ps[PAD : PAD + ny_lm]
+            .reshape(n_blocks, br_m, nxp_loc)[:, : br_m // 2]
+            .reshape(ny_lm // 2, nxp_loc)
+        )
+        res_c = even[:, CPAD : CPAD + nx_lm][:, ::2]   # (ny_l/2, nx_l/2)
+        if m + 1 < plan.s:
+            ny_ln, nx_ln, _, _, br_n = plan.level(m + 1)
+            f = _pack_local_2d(res_c, ny_ln, br_n, nx_ln)
+            u = jnp.zeros_like(f)
+            zero_u = True
+        else:
+            # ---- replicated coarse subtree ----
+            from fpr_tpu.solvers.multigrid import vcycle
+
+            ny_gs = ((plan.ny - 1) >> (m + 1)) + 1
+            nx_gs = ((plan.nx - 1) >> (m + 1)) + 1
+            cols = lax.all_gather(res_c, ax, axis=1, tiled=True)
+            gathered = lax.all_gather(cols, ay, axis=0, tiled=True)
+            res_glob = gathered[:ny_gs, :nx_gs]
+            sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
+            corr_glob = jnp.zeros_like(res_glob)
+            corr_glob, _ = vcycle(
+                corr_glob, res_glob, h_m * 2.0, c, tol, sub_cfg,
+            )
+
+    for m in reversed(range(plan.s)):
+        u, f, (ny_lm, nx_lm, ny_gm, nx_gm, br_m, h_m, roff, coff) = down[m]
+        nyc_l, nxc_l = ny_lm // 2, nx_lm // 2
+        rows_needed = pallas2d.corr_rows_needed(ny_lm, br_m)
+        nxp_loc = nx_lm + 2 * CPAD
+        if m == plan.s - 1:
+            # replicated global correction: every shard slices its own
+            # (rows +-4 coarse, cols +-CPAD fine) window out of the
+            # x-interleaved global array
+            from fpr_tpu.ops.pallas2d import x_interleave_coarse
+
+            corrx_g = x_interleave_coarse(corr_glob)
+            L = rows_needed - (PAD - 4)
+            G = jnp.pad(
+                corrx_g,
+                ((4, plan.ndev_y * nyc_l + L),
+                 (CPAD, CPAD + plan.ndev_x * nx_lm)),
+            )
+            win = lax.dynamic_slice(
+                G, (dy * nyc_l, dx * nx_lm), (L, nxp_loc)
+            )
+            corrx_rp = jnp.zeros((rows_needed, nxp_loc), win.dtype)
+            corrx_rp = corrx_rp.at[PAD - 4 :, :].set(win)
+        else:
+            corr_rp = _refresh2d(corr_rp_next, nyc_l, nxc_l, ay, ax)
+            # +-4 coarse ghost rows AND +-GC coarse ghost cols (+1 for the
+            # interpolation midpoint) -> the interleaved window carries
+            # 2*GC >= ns valid fine ghost lanes for the in-kernel sweeps
+            ext = corr_rp[PAD - 4 : PAD + nyc_l + 4,
+                          CPAD - GC : CPAD + nxc_l + GC + 1]
+            rows = ext.shape[0]
+            cx = (ext[:, :-1] + ext[:, 1:]) * 0.5
+            inter = jnp.stack([ext[:, :-1], cx], axis=2).reshape(
+                rows, 2 * (nxc_l + 2 * GC)
+            )
+            corrx_rp = jnp.zeros((rows_needed, nxp_loc), inter.dtype)
+            corrx_rp = corrx_rp.at[
+                PAD - 4 : PAD - 4 + rows,
+                CPAD - 2 * GC : CPAD - 2 * GC + inter.shape[1],
+            ].set(inter)
+
+        u = _refresh2d(u, ny_lm, nx_lm, ay, ax)
+        u, _ = pallas2d.corr_smooth2_raw(
+            u, f, corrx_rp, ny_lm, nxloc_of(nx_lm), br_m, h_m, c, alpha,
+            with_norm=False, row_off=roff, ny_mask=ny_gm,
+            ns=cfg.post_smooth, col_off=coff, nx_mask=nx_gm,
+        )
+        corr_rp_next = u
+    return u
+
+
+def nxloc_of(nx_l: int) -> int:
+    """Local layout width of a 2D shard (ghost slabs included)."""
+    return nx_l + 2 * CPAD
+
+
+def mg_solve_ds_sharded_2d(
+    f,
+    h: float,
+    c,
+    tol: float,
+    niters: int,
+    mesh: Mesh,
+    axes: tuple[str, str] = ("y", "x"),
+    cfg: MGConfig = MGConfig(),
+    inner_cycles: int | None = None,
+    replicate_below: int = 1025,
+    gather_result: bool = True,
+):
+    """Distributed ds MG over a 2D (y, x) device mesh, zero initial guess.
+
+    Semantics match ``mg_solve_ds(None, f, ...)`` — same fused kernels,
+    same per-cell arithmetic (per-shard bitwise; the psum'd norm may
+    differ in the last bit).  Avoids the 1D solver's thin-slab limit:
+    an 8-device slice can run 4x2 or 2x4 instead of 8x1, so per-shard
+    rows stay deep enough for the fused-kernel block constraint at more
+    devices.  apply_bcs is not supported here (the NS tier shards 1D).
+    Returns ((hi, lo), r_rms, iters) global, or the raw sharded stack.
+    """
+    if f.dtype != jnp.float32:
+        raise ValueError("sharded ds solver takes an exactly-f32 rhs")
+    ny, nx = f.shape
+    if inner_cycles is None:
+        from fpr_tpu.solvers.multigrid import _auto_inner_cycles
+        inner_cycles = _auto_inner_cycles(ny, nx, cfg)
+    ay, ax = axes
+    plan = plan_shards_2d(ny, nx, mesh.shape[ay], mesh.shape[ax], cfg,
+                          replicate_below)
+    solve = _build_sharded_2d(
+        plan, mesh, ay, ax, float(h), float(tol), int(niters), cfg,
+        int(inner_cycles), bool(gather_result),
+    )
+    return solve(f, jnp.asarray(c, jnp.float32))
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_2d(plan, mesh, ay, ax, h, tol, niters, cfg, inner_cycles,
+                      gather_result):
+    from fpr_tpu.ops import ds as dsm
+    from fpr_tpu.ops import stencil2d
+
+    ny, nx = plan.ny, plan.nx
+    ndev_y, ndev_x = plan.ndev_y, plan.ndev_x
+    ny_l, nx_l, br0 = plan.ny_l, plan.nx_l, plan.brs[0]
+    total0 = padded_rows(ny_l, br0)
+    nxp_loc = nx_l + 2 * CPAD
+
+    def shard_body(f_blk, f_rms, c):
+        f_rp = f_blk[0, 0]
+        dy = lax.axis_index(ay)
+        dx = lax.axis_index(ax)
+        roff = dy * ny_l
+        coff = dx * nx_l - CPAD
+        tolf = jnp.asarray(tol, jnp.float32) * f_rms
+
+        u_ds = jnp.zeros((2, total0, nxp_loc), jnp.float32)
+        f_ds = f_rp[None]
+        r32 = -f_rp
+        r_rms0 = f_rms
+
+        def cond(carry):
+            _, _, r_rms, it = carry
+            return jnp.logical_and(it < niters, r_rms >= tolf)
+
+        def body(carry):
+            u_ds, r32, _, it = carry
+            e = jnp.zeros((total0, nxp_loc), jnp.float32)
+            for cyc in range(inner_cycles):
+                e = _vcycle_dist_2d(
+                    e, r32, plan, h, c, tol, cfg, ay, ax,
+                    assume_zero_u=(cyc == 0),
+                )
+            u_ds = _refresh2d(u_ds, ny_l, nx_l, ay, ax)
+            e = _refresh2d(e, ny_l, nx_l, ay, ax)
+            u_ds, r32, sumsq = dsm.defect_pass(
+                u_ds, f_ds, e, 1.0, ny_l, nxp_loc, br0, h, c,
+                row_off=roff, ny_mask=ny, raw_sumsq=True,
+                col_off=coff, nx_mask=nx,
+                own_lanes=(CPAD, CPAD + nx_l),
+            )
+            sumsq = lax.psum(sumsq, (ay, ax))
+            r_rms = jnp.sqrt(sumsq / (nx * ny))
+            return u_ds, r32, r_rms, it + 1
+
+        u_ds, r32, r_rms, it = lax.while_loop(
+            cond, body,
+            (u_ds, r32, r_rms0, jnp.asarray(0, jnp.int32)),
+        )
+        return u_ds[None, None], r_rms, it
+
+    spec_f = P(ay, ax, None, None)
+    spec_u = P(ay, ax, None, None, None)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(spec_f, P(), P()),
+        out_specs=(spec_u, P(), P()),
+    )
+    try:
+        body = shard_map(shard_body, check_vma=False, **kwargs)
+    except TypeError:  # older jax spelling
+        body = shard_map(shard_body, check_rep=False, **kwargs)
+
+    @jax.jit
+    def solve(f, c):
+        f_rms = stencil2d.rms(f).astype(jnp.float32)
+        fp = jnp.pad(
+            f, ((0, ndev_y * ny_l - ny), (0, ndev_x * nx_l - nx))
+        )
+        blocks = (
+            fp.reshape(ndev_y, ny_l, ndev_x, nx_l).transpose(0, 2, 1, 3)
+        )
+        f_blk = jnp.pad(
+            blocks,
+            ((0, 0), (0, 0), (PAD, total0 - ny_l - PAD), (CPAD, CPAD)),
+        )
+        f_blk = lax.with_sharding_constraint(
+            f_blk, NamedSharding(mesh, spec_f)
+        )
+        u_st, r_rms, it = body(f_blk, f_rms, c)
+        from fpr_tpu.solvers.multigrid import _warn_unconverged
+
+        _warn_unconverged("mg_solve_ds_sharded_2d", r_rms, tol * f_rms, it,
+                          niters)
+        if not gather_result:
+            return u_st, r_rms, it
+        blk = u_st[:, :, :, PAD : PAD + ny_l, CPAD : CPAD + nx_l]
+        glob = (
+            blk.transpose(2, 0, 3, 1, 4)
+            .reshape(2, ndev_y * ny_l, ndev_x * nx_l)[:, :ny, :nx]
+        )
+        return (glob[0], glob[1]), r_rms, it
+
+    return solve
+
+
 @functools.lru_cache(maxsize=32)
 def _build_sharded(plan, mesh, axis, h, tol, niters, cfg, inner_cycles,
                    gather_result, apply_bcs=False):

@@ -149,6 +149,7 @@ def mg_pcg_ds(
     niters: int,
     cfg: MGConfig = MGConfig(),
     return_pair: bool = False,
+    dots: str = "rowsum64",
 ):
     """Flexible (Polak-Ribiere) CG on (nabla^2 - c) u = f, preconditioned
     by one stacked-aliased Pallas V-cycle, with the iterate in double-single
@@ -215,20 +216,64 @@ def mg_pcg_ds(
 
     PAD = pallas2d.PAD
 
+    def dot(a, b):
+        """Interior dot of two rp planes, restricted to the physical rows
+        (the defect kernel never writes the top-PAD ghost rows of its r
+        output — unspecified on real TPUs, NaN in interpret mode, and
+        0 * garbage would poison a whole-array sum).
+
+        The CG dots z.r and p.Ap carry heavy sign cancellation (z is a
+        smoothed copy of a rough r; A is definite but the ELEMENTWISE
+        products alternate), so a flat f32 sum over 16M cells loses
+        enough digits at k >= 12 to double the iteration count
+        (measured: 8 vs the f64 solver's 3).  dots='rowsum64' sums each
+        row in f32 (<= ~8k elements) and the ~ny row partials in f64 —
+        two cheap fused passes, restoring f64-solver iteration counts."""
+        ap = a[PAD : PAD + ny]
+        bp = b[PAD : PAD + ny]
+        if dots == "rowsum64":
+            rows = jnp.sum(ap * bp, axis=1)
+            return jnp.sum(rows.astype(jnp.float64)).astype(f32)
+        return jnp.sum(ap * bp)
+
+    def curvature(p):
+        """p.Ap without forming Ap.  Forming Ap = (sum of neighbors -
+        C p)/h^2 pointwise on the SMOOTH search direction p cancels
+        catastrophically in f32 (relative error ~ eps*8*n^2/pi^2 — order
+        ONE at k >= 11; measured: the kernel-dot PCG stalls at ~0.2
+        contraction/iter on 2049^2+ while the f64 solver does 3 iters).
+        The quadratic form has an exactly equivalent gradient form with
+        only same-sign terms:
+
+            p.Ap = -( sum (dx p)^2 + sum (dy p)^2 ) / h^2 - c sum p^2
+
+        for our A = (nabla^2 - c) with p zero on the boundary ring (the
+        V-cycle guarantees it; dead rows/lanes are sliced away), which is
+        cancellation-FREE and needs no extra precision."""
+        pp = p[PAD : PAD + ny, :nx]
+        ddx = pp[:, 1:] - pp[:, :-1]
+        ddy = pp[1:, :] - pp[:-1, :]
+
+        def s64(v):
+            rows = jnp.sum(v * v, axis=1)
+            return jnp.sum(rows.astype(jnp.float64)).astype(f32)
+
+        quad = (s64(ddx) + s64(ddy)) * jnp.asarray(1.0 / (h * h), f32)
+        if isinstance(c, (int, float)) and float(c) == 0.0:
+            return -quad
+        return -(quad + jnp.asarray(c, f32) * s64(pp))
+
     def body(carry):
         u_ds, r, r_old, p, rz_old, _, it = carry
         z = precond(r)
-        # both dots in one fused XLA pass over (z, r, r_old), restricted
-        # to the physical rows: the defect kernel never writes the
-        # top-PAD ghost rows of its r output (unspecified on real TPUs,
-        # NaN in interpret mode), and 0 * garbage would poison a
-        # whole-array sum
-        zp = z[PAD : PAD + ny]
-        s1 = jnp.sum(zp * r[PAD : PAD + ny])
-        s2 = jnp.sum(zp * r_old[PAD : PAD + ny])
+        s1 = dot(z, r)
+        s2 = dot(z, r_old)
         beta = (s1 - s2) / rz_old
         p = z + beta * p
-        pAp = pallas2d.matvec_dot_rp(p, ny, nx, br, h, c)
+        if dots == "rowsum64":
+            pAp = curvature(p)
+        else:
+            pAp = pallas2d.matvec_dot_rp(p, ny, nx, br, h, c)
         alpha = s1 / pAp
         # sign care: this framework's residual convention is r = A u - f
         # (the NEGATED textbook r), so z, p carry the negated directions
@@ -264,10 +309,12 @@ def mg_pcg_ds(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "tol", "niters", "cfg", "return_pair")
+    jax.jit,
+    static_argnames=("h", "tol", "niters", "cfg", "return_pair", "dots"),
 )
-def mg_pcg_ds_jit(f, h, c, tol, niters, cfg=MGConfig(), return_pair=False):
+def mg_pcg_ds_jit(f, h, c, tol, niters, cfg=MGConfig(), return_pair=False,
+                  dots="rowsum64"):
     """Jitted zero-initial-guess mg_pcg_ds (the benchmark entry point)."""
     return mg_pcg_ds(
-        f, h, c, tol, niters, cfg=cfg, return_pair=return_pair
+        f, h, c, tol, niters, cfg=cfg, return_pair=return_pair, dots=dots
     )
