@@ -30,6 +30,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=15)
     ap.add_argument("--devices", type=int, default=4)
+    ap.add_argument("--mesh", type=str, default=None, metavar="YxX",
+                    help="decompose over a 2D (y, x) mesh instead of "
+                         "rows-only, e.g. --devices 8 --mesh 4x2")
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--coarse", type=int, default=513)
     ap.add_argument("--out", default="benchmark-results/dist_mg_large.csv")
@@ -69,12 +72,20 @@ def main():
     b = jnp.asarray(b)
 
     cfg = MGConfig(coarse_size=args.coarse, coarse_solver=CoarseSolver.DST)
-    mesh = make_mesh((args.devices,), ("y",))
 
     t0 = time.perf_counter()
-    (hi, lo), r_rms, iters = dist_mg_ds.mg_solve_ds_sharded(
-        b, h, 0.0, args.tol, 20, mesh, axis="y", cfg=cfg,
-    )
+    if args.mesh:
+        ndy, ndx = (int(v) for v in args.mesh.lower().split("x"))
+        assert ndy * ndx == args.devices, (args.mesh, args.devices)
+        mesh = make_mesh((ndy, ndx), ("y", "x"))
+        (hi, lo), r_rms, iters = dist_mg_ds.mg_solve_ds_sharded_2d(
+            b, h, 0.0, args.tol, 20, mesh, cfg=cfg,
+        )
+    else:
+        mesh = make_mesh((args.devices,), ("y",))
+        (hi, lo), r_rms, iters = dist_mg_ds.mg_solve_ds_sharded(
+            b, h, 0.0, args.tol, 20, mesh, axis="y", cfg=cfg,
+        )
     hi, lo = np.asarray(hi, np.float64), np.asarray(lo, np.float64)
     wall = time.perf_counter() - t0
 
@@ -99,7 +110,8 @@ def main():
     from fpr_tpu.utils.io import append_csv_row
 
     row = dict(
-        k=args.k, n=n, devices=args.devices, iters=int(iters),
+        k=args.k, n=n, devices=args.devices,
+        mesh=args.mesh or f"{args.devices}x1", iters=int(iters),
         claimed_rms=float(r_rms), true_rel_residual=rel,
         wall_s=round(wall, 1), shard_state_gb=state_gb,
         host_peak_gb=peak_gb, backend="cpu-virtual",

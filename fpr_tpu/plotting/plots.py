@@ -133,9 +133,14 @@ def plot_mg_bench(results: Path, figs: Path):
         return float(d) if d else float(r["seconds"])
 
     fig, ax = plt.subplots(figsize=(6.5, 4))
-    keys = sorted({(r["coarse"], r["solver"]) for r in rows})
-    for coarse, solver in keys:
-        sel = [r for r in rows if r["coarse"] == coarse and r["solver"] == solver]
+    # the CSV carries both backends since round 4; keep curves per-backend
+    # (the cpu 'direct' curve IS the crossover comparison, docs/part2.md)
+    keys = sorted({(r["coarse"], r["solver"], r.get("backend", "tpu"))
+                   for r in rows})
+    for coarse, solver, backend in keys:
+        sel = [r for r in rows
+               if r["coarse"] == coarse and r["solver"] == solver
+               and r.get("backend", "tpu") == backend]
         # one (best) point per k
         byk = {}
         for r in sel:
@@ -146,7 +151,9 @@ def plot_mg_bench(results: Path, figs: Path):
         ks = sorted(byk)
         n = [(2 ** k + 1) ** 2 for k in ks]
         t = [byk[k] for k in ks]
-        ax.loglog(n, t, "o-", label=f"{coarse}/{solver}")
+        style = "s--" if backend == "cpu" else "o-"
+        label = f"{coarse}/{solver}" + (" (cpu)" if backend == "cpu" else "")
+        ax.loglog(n, t, style, label=label)
     ax.set(xlabel="unknowns", ylabel="time to tol=1e-6 [s]")
     ax.legend(fontsize=8)
     fig.tight_layout()

@@ -176,6 +176,19 @@ def mg_pcg_ds(
     Reference provenance: composes cg! (krylov.jl:55-91) with the V-cycle
     (multigrid.jl:91-170) — a configuration the reference benchmarks only
     as MG-alone vs CG-at-coarse-level (multigrid_bench.jl:27).
+
+    MEASURED VERDICT (v5e, DST-513/V(5,5) ladder, tol 1e-6 — see
+    mg_workprecision.csv and docs/part2.md): at k <= 12 this PCG matches
+    the f64 solver's iteration count (4 at 4097^2, same as ds-MG's outer
+    count) but pays ~40% per-iteration overhead for the dots/axpys
+    (k=12: 20.5 vs 14.8 ms device).  At k >= 13 Krylov acceleration
+    COLLAPSES (11 iters at 8193^2 vs the f64 solver's 3): the f32
+    V-cycle preconditioner evaluates its internal residuals at the
+    eps*8n^2/h^2 cancellation floor, so M becomes a noisy operator and
+    CG's two-term recurrence loses conjugacy — while defect-correction
+    MG is immune by construction (every outer consumes the TRUE ~48-bit
+    defect).  That noise-immunity is WHY the framework's production
+    solver is mg_solve_ds rather than PCG on TPU.
     """
     from fpr_tpu.ops import ds as dsm
     from fpr_tpu.ops import pallas2d
