@@ -360,11 +360,16 @@ def _defect_kernel(
     # reductions must cover each cell exactly ONCE across shards: ghost
     # lanes of a 2D-mesh shard are globally-interior cells owned by the
     # x-neighbor, so acc sums are restricted to the owned lane window
-    # (full width single-device)
+    # (full width single-device).  field_sumsq covers the whole PHYSICAL
+    # domain (boundary ring included — the NS w_sumsq contract), not just
+    # the interior, so it gets its own domain mask.
     if own_lanes is not None:
-        owned = interior & (lane >= own_lanes[0]) & (lane < own_lanes[1])
+        lane_win = (lane >= own_lanes[0]) & (lane < own_lanes[1])
+        owned = interior & lane_win
+        dom = (gy < ny) & (gx >= 0) & (gx < nx) & lane_win
     else:
         owned = interior
+        dom = (gy < ny) & (gx < nx)
 
     ures[slot, 0, :, :] = uh[blk, :]
     ures[slot, 1, :, :] = ul[blk, :]
@@ -390,7 +395,7 @@ def _defect_kernel(
     if field_sumsq:
         # sum of the updated field's squares (hi part; pads are zero), so a
         # consumer needing tol*rms(u') skips a standalone reduction pass
-        ub = jnp.where(owned, uh[blk, :], jnp.asarray(0.0, jnp.float32))
+        ub = jnp.where(dom, uh[blk, :], jnp.asarray(0.0, jnp.float32))
         acc_ref[3, 0] += jnp.sum(ub * ub)
 
     if velocity_max:

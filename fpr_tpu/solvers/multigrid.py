@@ -269,6 +269,12 @@ def mg_solve_jit(u0, f, h, c, tol, niters, apply_bcs=False, cfg=MGConfig()):
 # (e.g. 513 x 2049) still take the fused kernels
 PALLAS_MIN_AREA = 1024 * 1024
 
+# A/B seam: route truncated-DST ladders through the fused matmul-chain
+# coarse correction (solvers/dst.corr_from_res_ps) in the stk V-cycle.
+# Off = the unfused restrict_ps -> jnp handoff -> dst_solve ->
+# x_interleave path (bitwise-level equivalent up to matmul reassociation)
+_FUSE_DST_CORR = True
+
 
 def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
               assume_zero_u=False):
@@ -414,6 +420,26 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     L, res_ps = pallas2d.smooth2r_stk(
         L, ny, nx, br, h, c, alpha, zero_u=assume_zero_u, ns=cfg.pre_smooth
     )
+
+    if (
+        _FUSE_DST_CORR
+        and cfg.coarse_solver == CoarseSolver.DST
+        and not apply_bcs
+        and min((ny - 1) // 2 + 1, (nx - 1) // 2 + 1) <= cfg.coarse_size
+    ):
+        # the child level IS the DST coarse solve: run the whole coarse
+        # correction (restriction column pass + exact 2h solve +
+        # x-prolongation) as one fused matmul chain from res_ps straight
+        # into the upward leg's buffer — the dozen sequential transfer/
+        # handoff ops these latency-bound cycles otherwise dispatch
+        from fpr_tpu.solvers.dst import corr_from_res_ps
+
+        corrx_rp = corr_from_res_ps(res_ps, ny, nx, br, h, c)
+        return pallas2d.corr_smooth2_stk(
+            L, corrx_rp, ny, nx, br, h, c, alpha, with_norm=True,
+            ns=cfg.post_smooth,
+        )
+
     res_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=apply_bcs)
 
     nyc, nxc = res_c.shape
