@@ -147,7 +147,8 @@ def _fused_ps_consts(ny: int, nx: int, br: int, h: float, dtype_name: str):
             W_y_out.astype(dt), W_x_out.astype(dt))
 
 
-def corr_from_res_ps(res_ps, ny: int, nx: int, br: int, h: float, c):
+def corr_from_res_ps(res_ps, ny: int, nx: int, br: int, h: float, c,
+                     precision=None):
     """The entire coarse correction of a truncated-DST ladder as ONE
     matmul chain: injection restriction (row pass already done in-kernel:
     res_ps is parity-split), even-column decimation, the exact coarse
@@ -172,7 +173,7 @@ def corr_from_res_ps(res_ps, ny: int, nx: int, br: int, h: float, c):
         ny, nx, br, float(h), dtype_name
     )
     dt = res_ps.dtype
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision.HIGHEST if precision is None else precision
     denom = jnp.asarray(denom_np, dt) + jnp.asarray(c, dt)
     G = jnp.matmul(
         jnp.matmul(jnp.asarray(W_y_in, dt), res_ps, precision=hp),

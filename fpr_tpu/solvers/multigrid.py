@@ -434,7 +434,10 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         # handoff ops these latency-bound cycles otherwise dispatch
         from fpr_tpu.solvers.dst import corr_from_res_ps
 
-        corrx_rp = corr_from_res_ps(res_ps, ny, nx, br, h, c)
+        prec = (
+            jax.lax.Precision.DEFAULT if _FUSE_DST_CORR == "bf16" else None
+        )
+        corrx_rp = corr_from_res_ps(res_ps, ny, nx, br, h, c, precision=prec)
         return pallas2d.corr_smooth2_stk(
             L, corrx_rp, ny, nx, br, h, c, alpha, with_norm=True,
             ns=cfg.post_smooth,
