@@ -115,11 +115,15 @@ def _fused_ps_consts(ny: int, nx: int, br: int, h: float, dtype_name: str):
     Vy, ly = _dst_consts(my, 2.0 * float(h))
     Vx, lx = _dst_consts(mx, 2.0 * float(h))
 
-    W_y_in = np.zeros((my, total))
+    # W_y_in addresses only the WRITTEN block rows [PAD, total-PAD): the
+    # kernels never write the ghost/pad rows (unspecified on real TPUs,
+    # NaN in interpret mode) and 0-weight columns do not save a matmul
+    # from 0 * NaN — the consumer slices res_ps to this window
+    W_y_in = np.zeros((my, total - 2 * PAD))
     for i in range(my):
         yf = 2 * (i + 1)                      # global fine row
         b, t = divmod(yf, br)
-        W_y_in[:, PAD + b * br + t // 2] = Vy[:, i]
+        W_y_in[:, b * br + t // 2] = Vy[:, i]
 
     W_x_in = np.zeros((nxp, mx))
     for k in range(mx):
@@ -175,8 +179,11 @@ def corr_from_res_ps(res_ps, ny: int, nx: int, br: int, h: float, c,
     dt = res_ps.dtype
     hp = jax.lax.Precision.HIGHEST if precision is None else precision
     denom = jnp.asarray(denom_np, dt) + jnp.asarray(c, dt)
+    from fpr_tpu.ops.pallas2d import PAD
+
+    body = res_ps[PAD : PAD + W_y_in.shape[1]]
     G = jnp.matmul(
-        jnp.matmul(jnp.asarray(W_y_in, dt), res_ps, precision=hp),
+        jnp.matmul(jnp.asarray(W_y_in, dt), body, precision=hp),
         jnp.asarray(W_x_in, dt), precision=hp,
     )
     U = -G / denom
