@@ -272,8 +272,15 @@ PALLAS_MIN_AREA = 1024 * 1024
 # A/B seam: route truncated-DST ladders through the fused matmul-chain
 # coarse correction (solvers/dst.corr_from_res_ps) in the stk V-cycle.
 # Off = the unfused restrict_ps -> jnp handoff -> dst_solve ->
-# x_interleave path (bitwise-level equivalent up to matmul reassociation)
-_FUSE_DST_CORR = True
+# x_interleave path (bitwise-level equivalent up to matmul reassociation).
+# MEASURED NEGATIVE (round 4, same-session device A/B at k=12 DST-513
+# V(5,5) and NS explicit 2049x513): fused 13.91 ms vs unfused 13.31 ms
+# per solve; NS 5.05 s vs 4.41 s — the bigger fused matmuls cost more
+# MXU time than the dozen dispatched transfer/handoff ops they replace.
+# The bf16-operand variant is far worse (outer count 4 -> 8: the coarse
+# correction stops being exact).  Default stays False; the fused path is
+# kept + equivalence-tested (tests/test_multigrid.py:241) as the seam.
+_FUSE_DST_CORR = False
 
 
 def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
