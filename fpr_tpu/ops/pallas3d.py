@@ -516,7 +516,7 @@ def dual_time_step2_padded(
 def _dual_timek_stacked_kernel(
     zbounds_ref, st_hbm, out_hbm, acc_ref,
     slabs, results, sem_in, sem_out,
-    *, K, BZ, nz, ny, nx, nyp, nxp, dt, dtau, D, dx, dy, dz,
+    *, K, BZ, YC, nz, ny, nx, nyp, nxp, dt, dtau, D, dx, dy, dz,
 ):
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
@@ -574,19 +574,46 @@ def _dual_timek_stacked_kernel(
     dtau_ = jnp.asarray(dtau, dtype)
     z0 = i * BZ
 
-    def sweep(center, zm, zp, ht_c, gz0):
-        ym = _shift_y(center, -1)
-        yp = _shift_y(center, +1)
+    def sweep(a, ht_c, gz0, gy0, sl, sh):
+        # a: (m+2, my, nxp) -> (m, my-sl-sh, nxp).  z neighbors are the
+        # leading-dim window slices.  y neighbors: with sl=sh=0 (a single
+        # full-width chunk) this is the original edge-dup shift; for a
+        # chunk with an INTERIOR end (sl/sh = 1) the true neighbor rows
+        # exist in the chunk's ghost ring, so the shifted windows are
+        # direct slices — no concat copies at all.  Edge-dup rows feed
+        # only mask-zeroed boundary rows (same invariant as always).
+        zc = a[1:-1]
+        my = a.shape[1]
+        if sl == 0 and sh == 0:
+            center = zc
+            ym = _shift_y(zc, -1)
+            yp = _shift_y(zc, +1)
+            zmc = a[0:-2]
+            zpc = a[2:]
+        else:
+            center = zc[:, sl : my - sh]
+            ym = (
+                zc[:, sl - 1 : my - sh - 1]
+                if sl
+                else jnp.concatenate([zc[:, :1], zc[:, : my - sh - 1]], axis=1)
+            )
+            yp = (
+                zc[:, sl + 1 : my - sh + 1]
+                if sh
+                else jnp.concatenate([zc[:, sl + 1 :], zc[:, -1:]], axis=1)
+            )
+            zmc = a[0:-2, sl : my - sh]
+            zpc = a[2:, sl : my - sh]
         xm = _shift_x(center, -1)
         xp = _shift_x(center, +1)
         lap = (
             (xp - 2.0 * center + xm) * _dx2
             + (yp - 2.0 * center + ym) * _dy2
-            + (zp - 2.0 * center + zm) * _dz2
+            + (zpc - 2.0 * center + zmc) * _dz2
         )
         dH = (center - ht_c) * _dt - D_ * lap
         gz = gz0 + jax.lax.broadcasted_iota(jnp.int32, center.shape, 0)
-        gy = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+        gy = gy0 + jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
         gx = jax.lax.broadcasted_iota(jnp.int32, center.shape, 2)
         interior = (
             (gz >= zbounds_ref[0]) & (gz <= zbounds_ref[1])
@@ -597,25 +624,38 @@ def _dual_timek_stacked_kernel(
         return center - dtau_ * dH, dH
 
     # window row w <-> physical z = i*BZ + w - K for BOTH plane sets; the
-    # ht slice for sweep j (output phys base z0 - (K-j)) starts at row j
-    m = BZ + 2 * (K - 1)
-    u, dH = sweep(
-        slab[0, 1 : 1 + m], slab[0, 0:m], slab[0, 2 : 2 + m],
-        slab[1, 1 : 1 + m], z0 - (K - 1),
-    )
-    for j in range(2, K + 1):
-        m = BZ + 2 * (K - j)
-        u, dH = sweep(
-            u[1 : 1 + m], u[0:m], u[2 : 2 + m],
-            slab[1, j : j + m], z0 - (K - j),
-        )
-    results[slot, :, :, :] = u
+    # ht slice for sweep j (output phys base z0 - (K-j)) starts at row j.
+    # The K-sweep chain runs per y-CHUNK (YC chunks of nyp/YC rows, each
+    # carried with K ghost rows toward interior neighbors): the sweep
+    # temporaries then scale with the chunk width instead of nyp, cutting
+    # Mosaic's VMEM envelope so deeper K fits the 127 MiB limit.  DMAs,
+    # aliasing, and the race-close order are untouched (full-width slabs).
+    CH = nyp // YC
+    ssq = jnp.asarray(0.0, dtype)
+    for c in range(YC):
+        ylo = 0 if c == 0 else c * CH - K
+        yhi = nyp if c == YC - 1 else (c + 1) * CH + K
+        u = slab[0, :, ylo:yhi, :]
+        cur_lo, cur_hi = ylo, yhi
+        dH = None
+        for j in range(1, K + 1):
+            m = BZ + 2 * (K - j)
+            sl = 1 if c > 0 else 0
+            sh = 1 if c < YC - 1 else 0
+            nlo, nhi = cur_lo + sl, cur_hi - sh
+            u, dH = sweep(
+                u, slab[1, j : j + m, nlo:nhi, :],
+                z0 - (K - j), nlo, sl, sh,
+            )
+            cur_lo, cur_hi = nlo, nhi
+        results[slot, :, c * CH : (c + 1) * CH, :] = u
+        ssq = ssq + jnp.sum(dH * dH)
 
     @pl.when(i == 0)
     def _():
         acc_ref[0, 0] = jnp.asarray(0.0, dtype)
 
-    acc_ref[0, 0] += jnp.sum(dH * dH)
+    acc_ref[0, 0] += ssq
 
     # the race-closing wait: input i+1 must be fully on-chip before the
     # aliased output overwrites its tail halo rows
@@ -635,7 +675,8 @@ def _dual_timek_stacked_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_callk_stacked(shape, dtype_name, K, BZ, dt, dtau, dx, dy, dz, D, interpret):
+def _build_callk_stacked(shape, dtype_name, K, BZ, dt, dtau, dx, dy, dz, D, interpret,
+                         YC=1):
     nz, ny, nx = shape
     nyp, nxp = _pad_yx(ny, nx)
     dtype = jnp.dtype(dtype_name)
@@ -643,7 +684,7 @@ def _build_callk_stacked(shape, dtype_name, K, BZ, dt, dtau, dx, dy, dz, D, inte
 
     kernel = functools.partial(
         _dual_timek_stacked_kernel,
-        K=K, BZ=BZ, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp,
+        K=K, BZ=BZ, YC=YC, nz=nz, ny=ny, nx=nx, nyp=nyp, nxp=nxp,
         dt=dt, dtau=dtau, D=D, dx=dx, dy=dy, dz=dz,
     )
     word = dtype.itemsize
@@ -710,12 +751,18 @@ def unstack_state_k(state, shape, K=3):
 
 def dual_time_stepk_stacked(
     state, shape, dt, dtau, dx, dy, dz, D, K=3, block_z=None, z_bounds=None,
+    y_chunks=1,
 ):
     """K fused pseudo-time iterations on stacked (Htau, Ht) state.
 
     Returns (state', sumsq of the LAST iteration's dHdtau).  state' aliases
     state's buffer on TPU (the Ht planes and ghosts are never re-copied);
     per-grid-step DMA drops from 3 streams to 2.
+
+    ``y_chunks`` splits the in-kernel K-sweep COMPUTE (not the DMAs) into
+    y chunks, shrinking Mosaic's sweep temporaries so deeper K fits the
+    VMEM limit (per-iteration traffic is (3BZ+4K)/(BZ*K) words/cell, so
+    deeper K at fixed BZ is the remaining bandwidth lever at 512^3).
     """
     nz, ny, nx = shape
     nyp, nxp = _pad_yx(ny, nx)
@@ -726,10 +773,17 @@ def dual_time_stepk_stacked(
             f"stacked K-fusion needs K <= BZ (got K={K}, BZ={BZ}): the "
             "race-closing DMA order only covers the adjacent block's halo"
         )
+    if nyp % y_chunks != 0:
+        raise ValueError(f"y_chunks={y_chunks} must divide padded ny={nyp}")
+    if y_chunks > 1 and nyp // y_chunks <= 2 * K:
+        raise ValueError(
+            f"y_chunks={y_chunks} leaves chunks of {nyp // y_chunks} rows, "
+            f"too thin for K={K} ghost rows"
+        )
     call = _build_callk_stacked(
         tuple(shape), jnp.dtype(state.dtype).name, int(K), BZ,
         float(dt), float(dtau), float(dx), float(dy), float(dz), float(D),
-        interpret,
+        interpret, YC=int(y_chunks),
     )
     if z_bounds is None:
         zb = jnp.asarray([1, nz - 2], jnp.int32)

@@ -137,11 +137,14 @@ def test_solver_fusedk_policy(rng):
     np.testing.assert_allclose(o_4.H, o_j.H, atol=1e-5)
 
 
-@pytest.mark.parametrize("K", [2, 3])
-def test_fusedk_stacked_matches_k_steps(rng, K):
+@pytest.mark.parametrize("K,y_chunks", [(2, 1), (3, 1), (3, 2), (4, 2), (4, 4)])
+def test_fusedk_stacked_matches_k_steps(rng, K, y_chunks):
     # stacked-state variant (one input DMA, output aliased to the input
-    # buffer) == K sequential iterations; ghosts/Ht persist across calls
-    shape = (12, 20, 24)
+    # buffer) == K sequential iterations; ghosts/Ht persist across calls.
+    # y_chunks > 1 splits the in-kernel sweep compute (edge-dup shifts at
+    # true array edges, ghost-row windows at interior chunk seams) — the
+    # deeper-K VMEM enabler; ny=40 -> chunk seams at 20/10 rows.
+    shape = (12, 40, 24)
     Ht = jnp.asarray(rng.random(shape))
     Htau = jnp.asarray(rng.random(shape))
     args = dict(dt=0.2, dtau=1e-3, dx=0.1, dy=0.11, dz=0.12, D=1.0)
@@ -154,7 +157,7 @@ def test_fusedk_stacked_matches_k_steps(rng, K):
         # block_z=4 -> 3 blocks: exercises the multi-block halo/aliasing
         # index arithmetic (the single-block case hides it)
         state, sg = pallas3d.dual_time_stepk_stacked(
-            state, shape, K=K, block_z=4, **args
+            state, shape, K=K, block_z=4, y_chunks=y_chunks, **args
         )
         np.testing.assert_allclose(
             np.asarray(pallas3d.unstack_state_k(state, shape, K)),
