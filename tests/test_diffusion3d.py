@@ -122,3 +122,48 @@ def test_f32_matches_f64_iterations():
     o32 = diffusion3d.solve(cfg, dtype=jnp.float32)
     assert abs(o64.iters_total - o32.iters_total) <= 0.05 * o64.iters_total + 2
     np.testing.assert_allclose(o32.H, o64.H, atol=5e-5)
+
+
+# --- golden field-snapshot test (reference test/part1.jl:18-42) -----------
+#
+# The reference commits a 12x12 sample of the z=15 slice at 32^3
+# (test/reftest-files/test_1.bson) and holds all three solver variants to
+# it at atol 1e-5 — the one test that catches a spatial-pattern regression
+# which preserves probe values and residual norms.  Our golden is
+# regenerated by scripts/make_golden_part1.py (JNP f64 tier).
+
+
+@pytest.fixture(scope="module")
+def golden_32():
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "golden_part1_32.npz"
+    )
+    return np.load(path)
+
+
+@pytest.mark.parametrize(
+    "policy,tol,dtype",
+    [
+        (ExecutionPolicy.JNP, 1e-8, jnp.float64),
+        # f32 at tol 1e-7 sits 1.6e-6 off the f64 field at 32^3 (measured);
+        # tol 1e-6 would leave 1.8e-5 > the reference's atol
+        (ExecutionPolicy.PALLAS, 1e-7, jnp.float32),
+        (ExecutionPolicy.PALLAS_DS, 1e-8, None),
+    ],
+    ids=["jnp", "pallas", "pallas_ds"],
+)
+def test_golden_field_snapshot(golden_32, policy, tol, dtype):
+    cfg = DiffusionConfig(nx=32, ny=32, nz=32, ttot=1.0, tol=tol, policy=policy)
+    kw = {} if dtype is None else {"dtype": dtype}
+    res = diffusion3d.solve(cfg, **kw)
+    assert res.converged
+    inds = golden_32["indices"]
+    z = int(golden_32["z_index"])
+    sample = res.H[z][np.ix_(inds, inds)]
+    np.testing.assert_allclose(sample, golden_32["H"], atol=1e-5)
+    g = Grid3D(32, 32, 32)
+    np.testing.assert_allclose(
+        np.asarray(g.coords1d("x"))[inds], golden_32["X"], atol=1e-12
+    )
