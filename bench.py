@@ -159,7 +159,16 @@ def bench_ns():
     """Explicit NS at the reference's full 2049x513 scale (Pr=0.01,
     ttot=0.005, tol=1e-7): fused operator kernel + on-device time loop +
     warm-started double-single multigrid.  Reference: 8736 timed steps in
-    1314 s on the Titan X-class GPU (BASELINE.md)."""
+    1314 s on the Titan X-class GPU (BASELINE.md).
+
+    Two explicit rows: reference tolerance semantics (s_tol_factor=1,
+    every solve to tol*rms), and the relaxed-S production config
+    (s_tol_factor=100: S-solve to 100*tol*rms) — measured to preserve
+    EXACT step parity (8736, seeds 0-3) and <1e-6 relative field drift
+    while cutting the warm-solve outers (4.41 -> 2.56 s; the probe
+    artifact is benchmark-results/ns_s_tol_factor.json).  The semi tier
+    stays at factor 1 (3 solves/step; the S share is small and the T
+    drift crosses 1e-6 there)."""
     import dataclasses
 
     from fpr_tpu.core.config import NSConfig
@@ -174,6 +183,17 @@ def bench_ns():
     for _ in range(2):  # warm repetitions (jit cache shared in-process)
         times.append(simulate_fast(cfg, seed=0).t_elapsed)
 
+    relaxed_cfg = dataclasses.replace(cfg, s_tol_factor=100.0)
+    relaxed = simulate_fast(relaxed_cfg, seed=0)
+    relaxed_times = [relaxed.t_elapsed]
+    for _ in range(2):
+        relaxed_times.append(simulate_fast(relaxed_cfg, seed=0).t_elapsed)
+    if relaxed.timed_iters != out.timed_iters:
+        raise AssertionError(
+            f"relaxed-S step parity broke: {relaxed.timed_iters} != "
+            f"{out.timed_iters} — do not publish the relaxed row"
+        )
+
     # semi-implicit tier (the reference's headline experiment: 37 steps
     # in 25.5 s on the V100, part2 BASELINE) — same scale, beta=0.5
     semi_cfg = dataclasses.replace(cfg, beta=0.5)
@@ -182,7 +202,8 @@ def bench_ns():
     for _ in range(2):
         semi_times.append(simulate_fast(semi_cfg, seed=0).t_elapsed)
     return (float(np.median(times)), out.timed_iters, times,
-            float(np.median(semi_times)), semi.timed_iters)
+            float(np.median(semi_times)), semi.timed_iters,
+            float(np.median(relaxed_times)), relaxed_times)
 
 
 def check_aliased_kernels():
@@ -199,24 +220,27 @@ def check_aliased_kernels():
 
     from fpr_tpu.ops import pallas3d
 
-    n, K, iters = 128, 3, 4
+    n, iters = 128, 4
     shape = (n, n, n)
     kw = dict(dt=0.2, dtau=1e-4, dx=0.05, dy=0.05, dz=0.05, D=1.0)
     key = jax.random.PRNGKey(7)
     Ht = jax.random.uniform(key, shape, jnp.float32)
     Htau = jax.random.uniform(jax.random.PRNGKey(8), shape, jnp.float32)
 
-    @jax.jit
-    def run_stacked(Ht, Htau):
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("K", "yc", "bz"))
+    def run_stacked(Ht, Htau, K, yc, bz):
         st = pallas3d.stack_state_k(Ht, Htau, K)
         def body(i, carry):
             st, _ = carry
-            return pallas3d.dual_time_stepk_stacked(st, shape, K=K, **kw)
+            return pallas3d.dual_time_stepk_stacked(
+                st, shape, K=K, y_chunks=yc, block_z=bz, **kw)
         st, ss = jax.lax.fori_loop(0, iters, body, (st, jnp.float32(0)))
         return pallas3d.unstack_state_k(st, shape, K), ss
 
-    @jax.jit
-    def run_padded(Ht, Htau):
+    @_ft.partial(jax.jit, static_argnames="K")
+    def run_padded(Ht, Htau, K):
         Hp = pallas3d.pad3dk(Htau, K)
         Hti = pallas3d.pad_htk(Ht, K)
         def body(i, carry):
@@ -225,15 +249,19 @@ def check_aliased_kernels():
         Hp, ss = jax.lax.fori_loop(0, iters, body, (Hp, jnp.float32(0)))
         return pallas3d.unpad3dk(Hp, shape, K), ss
 
-    a, ssa = run_stacked(Ht, Htau)
-    b, ssb = run_padded(Ht, Htau)
-    a, b = np.asarray(a), np.asarray(b)
-    if not np.array_equal(a, b):
-        bad = int((a != b).sum())
-        raise AssertionError(
-            f"ALIASED-KERNEL RACE: stacked != padded at {bad} cells "
-            f"(max |diff| {np.abs(a - b).max():.3e})"
-        )
+    # (K=3, yc=1): the production bench config; (K=4, yc=2, BZ=8): the
+    # chunk-seam path — its seam windows touch the same aliased slab, the
+    # exact class interpret mode cannot check (ADVICE round 4)
+    for K, yc, bz in ((3, 1, None), (4, 2, 8)):
+        a, ssa = run_stacked(Ht, Htau, K, yc, bz)
+        b, ssb = run_padded(Ht, Htau, K)
+        a, b = np.asarray(a), np.asarray(b)
+        if not np.array_equal(a, b):
+            bad = int((a != b).sum())
+            raise AssertionError(
+                f"ALIASED-KERNEL RACE (K={K}, y_chunks={yc}): stacked != "
+                f"padded at {bad} cells (max |diff| {np.abs(a - b).max():.3e})"
+            )
 
     # 2D stacked-aliased V-cycle legs vs the separate-stream kernels
     # (multi-block; the aliased u write overlaps the next block's slab
@@ -296,19 +324,194 @@ def check_aliased_kernels():
     return True
 
 
-def _attempt(label, fn, tries=2):
-    """Run a benchmark component with one retry: the remote compile helper
-    occasionally wedges or 500s transiently (CLAUDE.md), and one flaky
-    component must not cost the whole headline artifact."""
-    import traceback
+# ---------------------------------------------------------------------------
+# Orchestration: every component runs in its OWN subprocess.
+#
+# Round-4 post-mortem (VERDICT.md): the NS component crashed the TPU worker
+# twice and the surviving components published numbers from a degraded chip
+# with rc=0 — a consumer comparing rounds would conclude the code regressed
+# 21x.  Two fixes, both structural:
+#
+#  1. Process isolation: a worker crash (or a wedged remote-compile helper)
+#     in component N cannot poison component N+1 — each subprocess gets a
+#     fresh TPU client, and a hang is bounded by a timeout + one retry
+#     (the documented medicine for the wedged helper is "kill and retry").
+#  2. Device-health canary: a fixed known-cost probe (the 512^3 K=3 stacked
+#     kernel, the best-characterized workload in the repo) runs BEFORE the
+#     components and again AFTER.  Healthy envelope from three rounds of
+#     measurements: 1.26-1.5 ms/iter (round 3: 1.31; round-4 judge re-probe:
+#     1.44-1.46); the degraded round-4 capture measured 27.2.  On breach the
+#     bench retries the canary in a fresh process and, failing that, emits
+#     {"env_degraded": true} with the canary numbers INSTEAD of
+#     plausible-looking component numbers.
+# ---------------------------------------------------------------------------
 
+CANARY_HEALTHY_MS = 2.0  # breach threshold; healthy chip measures 1.26-1.5
+
+
+def bench_canary(iters: int = 150):
+    """Fixed known-cost health probe: 512^3 stacked K=3 kernel ms/iter.
+
+    The tunnel RPC (2.5-43 ms/call, drifting hourly) is measured first and
+    subtracted per call — at 150 iters/call an unsubtracted 27 ms RPC
+    would read as +0.18 ms/iter; at a short 30-iter probe it reads +0.9
+    and would false-flag a healthy chip."""
+    import statistics
+
+    import jax.numpy as jnp
+
+    from fpr_tpu.core.grid import Grid3D, pseudo_timestep
+    from fpr_tpu.ops import pallas3d, stencil3d
+    from fpr_tpu.core import bc
+
+    tunnel_s = measure_tunnel_overhead()
+
+    n = 512
+    grid = Grid3D(n, n, n)
+    dtau = pseudo_timestep(grid.dx, grid.dy, grid.dz, 1.0)
+    kw = dict(dt=0.2, dtau=dtau, dx=grid.dx, dy=grid.dy, dz=grid.dz, D=1.0)
+    Ht = bc.dirichlet_faces_3d(stencil3d.init_gaussian(grid, dtype=jnp.float32))
+    shape = (n, n, n)
+    K = 3
+
+    @jax.jit
+    def iterate(state, k):
+        def body(i, carry):
+            st, acc = carry
+            st, sumsq = pallas3d.dual_time_stepk_stacked(st, shape, K=K, **kw)
+            return st, acc + sumsq
+        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
+
+    state = pallas3d.stack_state_k(Ht, Ht, K)
+    state, acc = iterate(state, 2)
+    float(acc)  # warmup + compile (scalar read: block_until_ready lies here)
+    n_it = K * (iters // K)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, acc = iterate(state, iters // K)
+        float(acc)
+        reps.append(max(time.perf_counter() - t0 - tunnel_s, 0.0) / n_it * 1e3)
+    return {"ms_per_iter": round(statistics.median(reps), 3),
+            "reps_ms_per_iter": [round(r, 3) for r in reps],
+            "tunnel_rpc_ms": round(tunnel_s * 1e3, 2)}
+
+
+def _component_payload(name, quick):
+    """Run one component in THIS process and return its JSON payload."""
+    jax.config.update("jax_enable_x64", True)
+
+    if name in ("canary", "canary_post"):
+        if jax.default_backend() != "tpu":
+            return {"skipped": "not tpu"}
+        return bench_canary()
+
+    if name == "aliased":
+        if jax.default_backend() != "tpu":
+            return {"skipped": "not tpu"}
+        return {"passed": bool(check_aliased_kernels())}
+
+    if name == "diffusion":
+        n_diff = 128 if quick else 512
+        iters = 99 if quick else 300  # multiple of the K=3 fusion depth
+        res, stats = bench_diffusion(n_diff, iters)
+        return {
+            "grid": f"{n_diff}^3",
+            "teff_gbs": res.throughput / 1e9,
+            "ms_per_iter": res.delta_t / iters * 1e3,
+            "gflops": res.performance / 1e9,
+            "iqr_s": stats.iqr_s,
+        }
+
+    if name == "mg":
+        n_mg = 1025 if quick else 4097
+        tunnel_s = measure_tunnel_overhead()
+        stats, per_solve, iters, rel = bench_mg(n_mg, 1e-6, tunnel_s=tunnel_s)
+        return {
+            "grid": f"{n_mg}^2",
+            "tunnel_rpc_overhead_ms": round(tunnel_s * 1e3, 2),
+            "seconds_to_tol": stats.median_s,
+            "iqr_s": stats.iqr_s,
+            "device_seconds_per_solve": round(per_solve, 5),
+            "outer_iterations": iters,
+            "true_f64_rel_residual": rel,
+        }
+
+    if name == "ns":
+        (ns_s, ns_steps, ns_times, semi_s, semi_steps,
+         relaxed_s, relaxed_times) = bench_ns()
+        return {
+            "explicit_seconds": round(ns_s, 2),
+            "rep_seconds": [round(t, 2) for t in ns_times],
+            "timed_steps": ns_steps,
+            "relaxed_s_seconds": round(relaxed_s, 2),
+            "relaxed_s_rep_seconds": [round(t, 2) for t in relaxed_times],
+            "semi_seconds": round(semi_s, 3),
+            "semi_timed_steps": semi_steps,
+        }
+
+    raise SystemExit(f"unknown component {name!r}")
+
+
+# generous: a wedged remote-compile helper hangs forever at 0% CPU, and
+# healthy compiles have measured anywhere from 20 s to 300+ s on bad days
+_TIMEOUTS = {"canary": 1500, "canary_post": 1500, "aliased": 1500,
+             "diffusion": 1500, "mg": 1800, "ns": 4500}
+
+
+def _run_component(name, quick, tries=2):
+    """Spawn `bench.py --component name` with a timeout and one retry.
+
+    Returns the component's payload dict; on failure a dict with "error".
+    A fresh process per attempt is the point: a crashed TPU worker or a
+    wedged compile helper dies with the child, not with the bench."""
+    import os
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--component", name]
+    if quick:
+        cmd.append("--quick")
+    timeout = _TIMEOUTS[name]
+    last = None
     for t in range(tries):
         try:
-            return fn()
-        except Exception:
-            traceback.print_exc()
-            print(f"bench component {label!r} failed (attempt {t + 1}/{tries})")
-    return None
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            last = {"error": f"timeout after {timeout}s "
+                             "(wedged compile helper?)"}
+            print(f"bench component {name!r}: {last['error']} "
+                  f"(attempt {t + 1}/{tries})", flush=True)
+            continue
+        for line in reversed(p.stdout.strip().splitlines()):
+            try:
+                obj = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(obj, dict) and obj.get("component") == name:
+                return obj.get("payload", {})
+        tail = (p.stdout + "\n" + p.stderr)[-2000:]
+        last = {"error": f"rc={p.returncode}, no payload", "tail": tail}
+        print(f"bench component {name!r} failed rc={p.returncode} "
+              f"(attempt {t + 1}/{tries})\n{tail}", flush=True)
+    return last if last is not None else {"error": "unknown"}
+
+
+def _canary_gate(quick):
+    """Run the health canary (fresh process; retried once on breach).
+
+    Returns (healthy: bool | None, payload).  None = unknown (non-TPU)."""
+    for attempt in range(2):
+        payload = _run_component("canary", quick)
+        if payload.get("skipped"):
+            return None, payload
+        ms = payload.get("ms_per_iter")
+        if ms is not None and ms <= CANARY_HEALTHY_MS:
+            return True, payload
+        print(f"bench canary BREACH (attempt {attempt + 1}/2): {payload}",
+              flush=True)
+    return False, payload
 
 
 def main():
@@ -316,74 +519,108 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-mg", action="store_true")
     ap.add_argument("--skip-ns", action="store_true")
+    ap.add_argument("--component", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    jax.config.update("jax_enable_x64", True)
+    if args.component:
+        # child mode: run ONE component in this process, print a tagged line
+        payload = _component_payload(args.component, args.quick)
+        print(json.dumps({"component": args.component, "payload": payload}),
+              flush=True)
+        return
 
-    # aliased-kernel race check (only real-TPU multi-block runs catch
-    # these) — runs in --quick too, so every bench invocation witnesses it
-    aliased_ok = (
-        bool(_attempt("aliased_check", check_aliased_kernels))
-        if jax.default_backend() == "tpu"
-        else None
-    )
-
-    n_diff = 128 if args.quick else 512
-    iters = 99 if args.quick else 300  # multiple of the K=3 fusion depth
-    diff = _attempt("diffusion", lambda: bench_diffusion(n_diff, iters))
-    res, diff_stats = diff if diff is not None else (None, None)
-    # None (-> JSON null), not 0.0: a failed component must be
-    # distinguishable from a catastrophically bad measurement
-    teff = res.throughput / 1e9 if res is not None else None
-
+    healthy, canary = _canary_gate(args.quick)
     extras = {
-        "diffusion_grid": f"{n_diff}^3",
-        "diffusion_ms_per_iter": res.delta_t / iters * 1e3 if res else None,
-        "diffusion_gflops": res.performance / 1e9 if res else None,
-        "diffusion_iqr_s": diff_stats.iqr_s if diff_stats else None,
         "timing": "median of 3 reps (5 for MG); iqr_s columns carry spread",
-        "aliased_kernel_check": aliased_ok,
         "dtype": "float32",
         "counting_model": "shmem (6+1 words/cell/iter), reference parity",
+        "canary": canary,
+        "canary_healthy_envelope_ms": [1.2, CANARY_HEALTHY_MS],
     }
 
+    if healthy is False:
+        # degraded chip: publish the canary evidence, NOT plausible-looking
+        # component numbers (round-4 failure mode)
+        out = {
+            "metric": "3D dual-time diffusion T_eff (counted 6+1 model) at 512^3, f32, TPU v5e",
+            "value": None,
+            "unit": "GB/s",
+            "vs_baseline": None,
+            "env_degraded": True,
+            "extras": extras,
+        }
+        print(json.dumps(out))
+        return
+
+    aliased = _run_component("aliased", args.quick)
+    extras["aliased_kernel_check"] = (
+        bool(aliased.get("passed")) if "error" not in aliased else False)
+    if "error" in aliased:
+        extras["aliased_kernel_check_error"] = aliased["error"]
+
+    n_diff = "128" if args.quick else "512"
+    diff = _run_component("diffusion", args.quick)
+    teff = diff.get("teff_gbs")
+    extras.update({
+        "diffusion_grid": diff.get("grid", f"{n_diff}^3"),
+        "diffusion_ms_per_iter": diff.get("ms_per_iter"),
+        "diffusion_gflops": diff.get("gflops"),
+        "diffusion_iqr_s": diff.get("iqr_s"),
+    })
+    if "error" in diff:
+        extras["diffusion_error"] = diff["error"]
+
     if not args.skip_mg:
-        n_mg = 1025 if args.quick else 4097
-        tunnel_rpc_s = _attempt("tunnel", measure_tunnel_overhead)
-        if tunnel_rpc_s is not None:
-            extras["tunnel_rpc_overhead_ms"] = round(tunnel_rpc_s * 1e3, 2)
-        mg = _attempt("mg", lambda: bench_mg(n_mg, 1e-6,
-                                             tunnel_s=tunnel_rpc_s or 0.0))
-        if mg is not None:
-            mg_stats, mg_per_solve, mg_iters, mg_rel = mg
-            mg_s = mg_stats.median_s
+        mg = _run_component("mg", args.quick)
+        if "error" not in mg:
+            n_mg = 1025 if args.quick else 4097
+            mg_s = mg["seconds_to_tol"]
             extras.update({
-                "mg_grid": f"{n_mg}^2",
+                "mg_grid": mg["grid"],
                 "mg_solver": "ds defect correction + DST-513 ladder, V(5,5) deep smoothing (mg_solve_ds)",
+                "tunnel_rpc_overhead_ms": mg["tunnel_rpc_overhead_ms"],
                 "mg_seconds_to_tol1e-6": mg_s,
-                "mg_iqr_s": mg_stats.iqr_s,
-                "mg_device_seconds_per_solve": round(mg_per_solve, 5),
-                "mg_outer_iterations": mg_iters,
-                "mg_true_f64_rel_residual": mg_rel,
+                "mg_iqr_s": mg["iqr_s"],
+                "mg_device_seconds_per_solve": mg["device_seconds_per_solve"],
+                "mg_outer_iterations": mg["outer_iterations"],
+                "mg_true_f64_rel_residual": mg["true_f64_rel_residual"],
                 "mg_vs_v100_0.154s": 0.154 / mg_s if n_mg == 4097 else None,
                 "mg_device_vs_v100_0.154s": (
-                    round(0.154 / mg_per_solve, 2) if n_mg == 4097 else None
-                ),
+                    round(0.154 / mg["device_seconds_per_solve"], 2)
+                    if n_mg == 4097 else None),
             })
+        else:
+            extras["mg_error"] = mg["error"]
 
     if not (args.skip_ns or args.quick):
-        ns = _attempt("ns", bench_ns)
-        if ns is not None:
-            ns_s, ns_steps, ns_times, semi_s, semi_steps = ns
+        ns = _run_component("ns", False)
+        if "error" not in ns:
             extras.update({
-                "ns_explicit_2049x513_Pr0.01_seconds": round(ns_s, 2),
-                "ns_rep_seconds": [round(t, 2) for t in ns_times],
-                "ns_timed_steps": ns_steps,
-                "ns_vs_reference_1314s": round(1314.0 / ns_s, 1),
-                "ns_semi_implicit_seconds": round(semi_s, 3),
-                "ns_semi_timed_steps": semi_steps,
-                "ns_semi_vs_reference_25.5s": round(25.5 / semi_s, 1),
+                "ns_explicit_2049x513_Pr0.01_seconds": ns["explicit_seconds"],
+                "ns_rep_seconds": ns["rep_seconds"],
+                "ns_timed_steps": ns["timed_steps"],
+                "ns_vs_reference_1314s": round(1314.0 / ns["explicit_seconds"], 1),
+                # relaxed-S production config (s_tol_factor=100): exact
+                # step parity + <1e-6 field drift, bench_ns docstring
+                "ns_explicit_relaxed_s_seconds": ns["relaxed_s_seconds"],
+                "ns_relaxed_s_rep_seconds": ns["relaxed_s_rep_seconds"],
+                "ns_relaxed_s_tol_factor": 100,
+                "ns_relaxed_vs_reference_1314s": round(
+                    1314.0 / ns["relaxed_s_seconds"], 1),
+                "ns_semi_implicit_seconds": ns["semi_seconds"],
+                "ns_semi_timed_steps": ns["semi_timed_steps"],
+                "ns_semi_vs_reference_25.5s": round(25.5 / ns["semi_seconds"], 1),
             })
+        else:
+            extras["ns_error"] = ns["error"]
+
+    if not args.quick:
+        # post-run canary: catches mid-run degradation (a healthy pre-canary
+        # does not certify the NS measurement an hour later)
+        post_ok, post = _canary_gate(False)
+        extras["canary_post"] = post
+        if post_ok is False:
+            extras["env_degraded_after"] = True
 
     out = {
         "metric": f"3D dual-time diffusion T_eff (counted 6+1 model) at {n_diff}^3, f32, TPU v5e",
