@@ -724,16 +724,25 @@ def _build_callk_stacked(shape, dtype_name, K, BZ, dt, dtau, dx, dy, dz, D, inte
     )
 
 
-def _pick_bz_stacked(nz: int, nyp: int, nxp: int, itemsize: int, K: int) -> int:
+def _pick_bz_stacked(nz: int, nyp: int, nxp: int, itemsize: int, K: int,
+                     YC: int = 1) -> int:
     """Block depth for the stacked kernel: scratch (6BZ+8K planes) plus
     Mosaic's sweep temporaries empirically total ~(10BZ + 16K) planes; the
     whole envelope must fit the 127 MiB Mosaic limit (measured at 512^3:
-    K=3/BZ=8 fits and saturates HBM, K=4/BZ=8 overflows)."""
+    K=3/BZ=8 fits and saturates HBM, K=4/BZ=8 overflows).
+
+    With ``YC`` y-chunks the sweep temporaries scale with the chunk width
+    (nyp/YC + 2K ghost rows) instead of nyp — the scratch slabs (6BZ+8K
+    planes) stay full-width, so only the (4BZ+8K)-plane temporaries term
+    shrinks."""
     plane = nyp * nxp * itemsize
+    chunk_frac = (nyp // YC + 2 * K) / nyp if YC > 1 else 1.0
     budget = 128 * 1024 * 1024
     best = 1
     for b in range(1, nz + 1):
-        if nz % b == 0 and (10 * b + 16 * K) * plane <= budget:
+        scratch = (6 * b + 8 * K) * plane
+        temps = (4 * b + 8 * K) * plane * chunk_frac
+        if nz % b == 0 and scratch + temps <= budget:
             best = b
     return best
 
@@ -761,13 +770,20 @@ def dual_time_stepk_stacked(
 
     ``y_chunks`` splits the in-kernel K-sweep COMPUTE (not the DMAs) into
     y chunks, shrinking Mosaic's sweep temporaries so deeper K fits the
-    VMEM limit (per-iteration traffic is (3BZ+4K)/(BZ*K) words/cell, so
-    deeper K at fixed BZ is the remaining bandwidth lever at 512^3).
+    VMEM limit.  NOTE: this is a VMEM *enabler*, not a measured win — the
+    counted traffic model ((3BZ+4K)/(BZ*K) words/cell) favors deeper K,
+    but same-session TPU A/Bs at 512^3 measure every K>=4 y_chunks config
+    SLOWER than K=3/y_chunks=1 (chunk-seam recompute + ghost-row overlap
+    outweigh the traffic saving; see CLAUDE.md round-5).  Default stays
+    K=3, y_chunks=1.
     """
     nz, ny, nx = shape
     nyp, nxp = _pad_yx(ny, nx)
     interpret = not _on_tpu()
-    BZ = block_z or _pick_bz_stacked(nz, nyp, nxp, jnp.dtype(state.dtype).itemsize, K)
+    if y_chunks < 1:
+        raise ValueError(f"y_chunks must be >= 1 (got {y_chunks})")
+    BZ = block_z or _pick_bz_stacked(
+        nz, nyp, nxp, jnp.dtype(state.dtype).itemsize, K, YC=int(y_chunks))
     if K > BZ:
         raise ValueError(
             f"stacked K-fusion needs K <= BZ (got K={K}, BZ={BZ}): the "
