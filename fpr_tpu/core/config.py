@@ -148,6 +148,14 @@ class NSConfig:
     # correction around f32 Pallas V-cycles (the TPU path for tight
     # tolerances on large grids — f32 alone can't represent the residual)
     mg_solver: str = "direct"
+    # simulate_fast only: relax the STREAMFUNCTION solve's tolerance to
+    # s_tol_factor * tol * rms(W) (T/W Helmholtz solves keep tol).  The
+    # S-solve's only observables are the velocity maxima (adaptive dt /
+    # step count) and the advective fluxes; a measured factor that
+    # preserves exact step parity trades unobservable S digits for 1 of
+    # the 2 warm-solve outer defect iterations per step.  1.0 = the
+    # reference's semantics (multigrid.jl:55, tolf = tol * f_rms).
+    s_tol_factor: float = 1.0
 
     @property
     def h(self) -> float:

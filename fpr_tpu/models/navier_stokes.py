@@ -337,7 +337,7 @@ def _fast_step(TW, S_ds, w_sumsq, cfg: NSConfig, br, defect=None):
 
     # 1. streamfunction solve  nabla^2 S = W (part2.jl:187), warm-started;
     # the defect kernel accumulates max|dS/dy|, max|dS/dx| of the final S
-    tolf = cfg.tol * jnp.sqrt(w_sumsq / n_cells)
+    tolf = (cfg.tol * cfg.s_tol_factor) * jnp.sqrt(w_sumsq / n_cells)
     solve_kw = {}
     if defect is not None:
         r32, r_rms, ax0, ay0 = defect
