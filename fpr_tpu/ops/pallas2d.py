@@ -318,7 +318,7 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
 def _smooth2r_kernel(
     c_ref, u_hbm, f_hbm, out_hbm,
     slabs, fbufs, results, sem_u, sem_f, sem_out,
-    *, BR, ny, nx, nxp, h, alpha, split_res, zero_u=False, ns=2,
+    *, BR, ny, nx, nxp, h, alpha, split_res, zero_u=False, ns=2, elim=False,
 ):
     """Fused V-cycle downward leg: ``ns`` chained damped-Jacobi sweeps AND
     the post-chain residual in one HBM pass (one kernel call instead of
@@ -409,6 +409,19 @@ def _smooth2r_kernel(
             interior, (vm + vp + vl + vr - C * V) * _h2 - F, jnp.asarray(0.0, dtype)
         )
 
+    def eliml(V):
+        # eliminated-BC smoothing (apply_bcs correction cycles): the side
+        # columns are copies of their interior neighbor after EVERY sweep,
+        # so the cycle relaxes the same Neumann-constrained operator the
+        # outer defect measures — the ~0.75/cycle BC contraction penalty
+        # vanishes (measured: NS T Helmholtz 16 -> 7 outers, CLAUDE.md
+        # round-5).  Pure preconditioner change: the true defect pass is
+        # untouched, so converged results keep reference semantics.
+        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        V = jnp.where(gx == 0, vr, V)
+        return jnp.where(gx == nx - 1, vl, V)
+
     assert 1 <= ns <= PAD - 2, ns
     if zero_u:
         # u == 0 structurally (coarse corrections / defect-correction
@@ -418,8 +431,12 @@ def _smooth2r_kernel(
     else:
         U = slabs[slot, :, :]
         u2 = U + w * res_of(U)      # valid rows 1..E-2
+    if elim:
+        u2 = eliml(u2)
     for _ in range(ns - 1):
         u2 = u2 + w * res_of(u2)    # each sweep eats one ring
+        if elim:
+            u2 = eliml(u2)
     res = res_of(u2)                # valid rows ns+1..E-2-ns; PAD=8 >= ns+1
 
     results[slot, 0, :, :] = u2[PAD : PAD + BR, :]
@@ -445,7 +462,7 @@ def _smooth2r_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
-               zero_u=False, ny_mask=None, ns=2, nx_mask=None):
+               zero_u=False, ny_mask=None, ns=2, nx_mask=None, elim=False):
     # ny/nx drive the LOCAL layout (cells owned by this shard, plus ghost
     # columns on a 2D mesh); ny_mask/nx_mask are the GLOBAL interior
     # bounds (== ny/nx single-device) checked against off + row / coff + lane
@@ -458,6 +475,7 @@ def _build_s2r(ny, nx, dtype_name, BR, h, alpha, interpret, split_res=False,
         BR=BR, ny=ny_mask if ny_mask is not None else ny,
         nx=nx_mask if nx_mask is not None else nx, nxp=nxp,
         h=h, alpha=alpha, split_res=split_res, zero_u=zero_u, ns=ns,
+        elim=elim,
     )
     scratch = dtype.itemsize * nxp * (
         2 * (BR + 2 * PAD) * (1 if zero_u else 2) + 2 * 2 * BR
@@ -522,7 +540,8 @@ def smooth2r_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8):
 
 
 def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False,
-                      row_off=0, ny_mask=None, ns=2, col_off=0, nx_mask=None):
+                      row_off=0, ny_mask=None, ns=2, col_off=0, nx_mask=None,
+                      elim=False):
     """smooth2r with the residual plane parity-split per block ([even rows;
     odd rows]) — the V-cycle fast path.  Returns (u_rp'', res_ps) where
     res_ps feeds transfer.restrict_ps (the even halves ARE the injected
@@ -544,7 +563,7 @@ def smooth2r_split_rp(u_rp, f_rp, ny, nx, br, h, c, alpha=0.8, zero_u=False,
     call = _build_s2r(
         ny, nx, jnp.dtype(u_rp.dtype).name, br, float(h), float(alpha),
         not _on_tpu(), split_res=True, zero_u=zero_u, ny_mask=ny_mask, ns=ns,
-        nx_mask=nx_mask,
+        nx_mask=nx_mask, elim=elim,
     )
     out = call(_scal2(c, row_off, u_rp.dtype, col_off), u_rp, f_rp)
     return out[0], out[1]
@@ -571,7 +590,7 @@ def x_interleave_coarse(coarse, apply_bcs=False):
 def _corr_smooth2_kernel(
     c_ref, u_hbm, f_hbm, corr_hbm, out_hbm, acc_ref,
     slabs, fbufs, cbufs, results, sem_u, sem_f, sem_c, sem_out,
-    *, BR, ny, nx, nxp, h, alpha, with_norm, ns=2,
+    *, BR, ny, nx, nxp, h, alpha, with_norm, ns=2, elim=False,
 ):
     """Fused V-cycle upward leg: y-interpolation of the (x-pre-interleaved)
     coarse correction, the subtraction, and ``ns`` post-smooths in one pass.
@@ -680,11 +699,20 @@ def _corr_smooth2_kernel(
             interior, (vm + vp + vl + vr - C4 * V) * _h2 - F, jnp.asarray(0.0, dtype)
         )
 
-    u2 = U
+    def eliml(V):
+        # eliminated-BC smoothing — see _smooth2r_kernel
+        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        V = jnp.where(gx == 0, vr, V)
+        return jnp.where(gx == nx - 1, vl, V)
+
+    u2 = eliml(U) if elim else U
     res2 = None
     for _ in range(ns):
         res2 = res_of(u2)
         u2 = u2 + w * res2
+        if elim:
+            u2 = eliml(u2)
 
     results[slot, :, :] = u2[PAD : PAD + BR, :]
 
@@ -710,7 +738,7 @@ def _corr_smooth2_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret,
-               ny_mask=None, ns=2, nx_mask=None):
+               ny_mask=None, ns=2, nx_mask=None, elim=False):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
@@ -719,7 +747,7 @@ def _build_cs2(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows, interpret
         _corr_smooth2_kernel,
         BR=BR, ny=ny_mask if ny_mask is not None else ny,
         nx=nx_mask if nx_mask is not None else nx, nxp=nxp,
-        h=h, alpha=alpha, with_norm=with_norm, ns=ns,
+        h=h, alpha=alpha, with_norm=with_norm, ns=ns, elim=elim,
     )
     return pl.pallas_call(
         kernel,
@@ -773,7 +801,7 @@ def corr_rows_needed(ny: int, br: int) -> int:
 def corr_smooth2_raw(
     u_rp, f_rp, corrx_rp, ny, nx, br, h, c,
     alpha=0.8, with_norm=False, row_off=0, ny_mask=None, raw_acc=False, ns=2,
-    col_off=0, nx_mask=None,
+    col_off=0, nx_mask=None, elim=False,
 ):
     """corr_smooth2 on a PREBUILT x-interleaved correction buffer: local
     coarse row j (fine-width, x-interleaved) at buffer row PAD + j, with
@@ -785,7 +813,7 @@ def corr_smooth2_raw(
     call = _build_cs2(
         ny, nx, jnp.dtype(u_rp.dtype).name, br,
         float(h), float(alpha), bool(with_norm), corrx_rp.shape[0],
-        not _on_tpu(), ny_mask=ny_mask, ns=ns, nx_mask=nx_mask,
+        not _on_tpu(), ny_mask=ny_mask, ns=ns, nx_mask=nx_mask, elim=elim,
     )
     out, acc = call(_scal2(c, row_off, u_rp.dtype, col_off), u_rp, f_rp,
                     corrx_rp)
@@ -798,7 +826,7 @@ def corr_smooth2_raw(
 
 def corr_smooth2_rp(
     u_rp, f_rp, corr_phys, ny, nx, br, h, c,
-    alpha=0.8, apply_bcs=False, with_norm=False, ns=2,
+    alpha=0.8, apply_bcs=False, with_norm=False, ns=2, elim=False,
 ):
     """Fused upward leg: u -= prolongate(corr); ``ns`` smooths; optional
     norm.
@@ -814,7 +842,7 @@ def corr_smooth2_rp(
     corrx_rp = corrx_rp.at[PAD : PAD + corrx.shape[0], :nx].set(corrx)
     return corr_smooth2_raw(
         u_rp, f_rp, corrx_rp, ny, nx, br, h, c,
-        alpha=alpha, with_norm=with_norm, ns=ns,
+        alpha=alpha, with_norm=with_norm, ns=ns, elim=elim,
     )
 
 
@@ -967,7 +995,7 @@ def _stk_bq(br: int, total: int, scratch_of) -> int:
 def _smooth2r_stk_kernel(
     c_ref, L_hbm, out_hbm, res_hbm,
     slabs, results, sem_in, sem_ou, sem_or,
-    *, BR, ny, nx, nxp, h, alpha, zero_u, S, ns,
+    *, BR, ny, nx, nxp, h, alpha, zero_u, S, ns, elim=False,
 ):
     """Stacked-aliased downward leg: ``ns`` damped-Jacobi sweeps + residual
     (parity-split, separate output) in one HBM pass over the
@@ -1065,14 +1093,25 @@ def _smooth2r_stk_kernel(
             interior, (vm + vp + vl + vr - C * V) * _h2 - F, jnp.asarray(0.0, dtype)
         )
 
+    def eliml(V):
+        # eliminated-BC smoothing — see _smooth2r_kernel
+        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        V = jnp.where(gx == 0, vr, V)
+        return jnp.where(gx == nx - 1, vl, V)
+
     if zero_u:
         res1 = jnp.where(interior, -F, jnp.asarray(0.0, dtype))
         u2 = w * res1
     else:
         U = slabs[islot, 0, :, :]
         u2 = U + w * res_of(U)
+    if elim:
+        u2 = eliml(u2)
     for _ in range(ns - 1):
         u2 = u2 + w * res_of(u2)
+        if elim:
+            u2 = eliml(u2)
     res = res_of(u2)
 
     # free the results slot BEFORE writing it: cout(i-2) reads the same
@@ -1111,7 +1150,7 @@ def _smooth2r_stk_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
-                   ny_mask=None, ns=2):
+                   ny_mask=None, ns=2, elim=False):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
@@ -1128,7 +1167,7 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
     kernel = functools.partial(
         _smooth2r_stk_kernel,
         BR=BQ, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
-        h=h, alpha=alpha, zero_u=zero_u, S=S, ns=ns,
+        h=h, alpha=alpha, zero_u=zero_u, S=S, ns=ns, elim=elim,
     )
     return pl.pallas_call(
         kernel,
@@ -1166,7 +1205,7 @@ def _build_s2r_stk(ny, nx, dtype_name, BR, h, alpha, interpret, zero_u=False,
 
 
 def smooth2r_stk(L, ny, nx, br, h, c, alpha=0.8, zero_u=False, row_off=0,
-                 ny_mask=None, ns=2):
+                 ny_mask=None, ns=2, elim=False):
     """Stacked-aliased downward leg on the (2, total, nxp) level state.
 
     Returns (L', res_ps): L' the same donated buffer on TPU with plane 0 =
@@ -1175,7 +1214,7 @@ def smooth2r_stk(L, ny, nx, br, h, c, alpha=0.8, zero_u=False, row_off=0,
     identical to smooth2r_split_rp on (L[0], L[1]) at ns=2."""
     call = _build_s2r_stk(
         ny, nx, jnp.dtype(L.dtype).name, br, float(h), float(alpha),
-        not _on_tpu(), zero_u=zero_u, ny_mask=ny_mask, ns=ns,
+        not _on_tpu(), zero_u=zero_u, ny_mask=ny_mask, ns=ns, elim=elim,
     )
     out, res_ps = call(_scal2(c, row_off, L.dtype), L)
     if not _on_tpu():
@@ -1187,7 +1226,7 @@ def smooth2r_stk(L, ny, nx, br, h, c, alpha=0.8, zero_u=False, row_off=0,
 def _corr_smooth2_stk_kernel(
     c_ref, L_hbm, corr_hbm, out_hbm, acc_ref,
     slabs, cbufs, results, sem_in, sem_c, sem_out,
-    *, BR, ny, nx, nxp, h, alpha, with_norm, S, ns,
+    *, BR, ny, nx, nxp, h, alpha, with_norm, S, ns, elim=False,
 ):
     """Stacked-aliased upward leg: y-interpolate the (x-pre-interleaved)
     coarse correction, subtract, ``ns`` post-smooths — writing u back over
@@ -1277,11 +1316,20 @@ def _corr_smooth2_stk_kernel(
             interior, (vm + vp + vl + vr - C4 * V) * _h2 - F, jnp.asarray(0.0, dtype)
         )
 
-    u2 = U
+    def eliml(V):
+        # eliminated-BC smoothing — see _smooth2r_kernel
+        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+        V = jnp.where(gx == 0, vr, V)
+        return jnp.where(gx == nx - 1, vl, V)
+
+    u2 = eliml(U) if elim else U
     res2 = None
     for _ in range(ns):
         res2 = res_of(u2)
         u2 = u2 + w * res2
+        if elim:
+            u2 = eliml(u2)
 
     # free the results slot BEFORE writing it (WAR vs the in-flight cout)
     @pl.when(i >= 2)
@@ -1319,7 +1367,7 @@ def _corr_smooth2_stk_kernel(
 
 @functools.lru_cache(maxsize=256)
 def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
-                   interpret, ny_mask=None, ns=2):
+                   interpret, ny_mask=None, ns=2, elim=False):
     dtype = jnp.dtype(dtype_name)
     total = padded_rows(ny, BR)
     nxp = padded_cols(nx)
@@ -1335,7 +1383,7 @@ def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
     kernel = functools.partial(
         _corr_smooth2_stk_kernel,
         BR=BQ, ny=ny_mask if ny_mask is not None else ny, nx=nx, nxp=nxp,
-        h=h, alpha=alpha, with_norm=with_norm, S=S, ns=ns,
+        h=h, alpha=alpha, with_norm=with_norm, S=S, ns=ns, elim=elim,
     )
     return pl.pallas_call(
         kernel,
@@ -1375,7 +1423,8 @@ def _build_cs2_stk(ny, nx, dtype_name, BR, h, alpha, with_norm, corr_rows,
 
 
 def corr_smooth2_stk(L, corrx_rp, ny, nx, br, h, c, alpha=0.8,
-                     with_norm=False, row_off=0, ny_mask=None, ns=2):
+                     with_norm=False, row_off=0, ny_mask=None, ns=2,
+                     elim=False):
     """Stacked-aliased upward leg on a PREBUILT x-interleaved correction
     buffer (see corr_smooth2_raw for its layout).  Returns (L', r_rms or
     None) with plane 0 = corrected+smoothed u, plane 1 unchanged."""
@@ -1383,7 +1432,7 @@ def corr_smooth2_stk(L, corrx_rp, ny, nx, br, h, c, alpha=0.8,
     call = _build_cs2_stk(
         ny, nx, jnp.dtype(L.dtype).name, br,
         float(h), float(alpha), bool(with_norm), corrx_rp.shape[0],
-        not _on_tpu(), ny_mask=ny_mask, ns=ns,
+        not _on_tpu(), ny_mask=ny_mask, ns=ns, elim=elim,
     )
     out, acc = call(_scal2(c, row_off, L.dtype), L, corrx_rp)
     if not _on_tpu():

@@ -54,6 +54,16 @@ from fpr_tpu.ops import pallas2d
 from fpr_tpu.ops.pallas2d import PAD, padded_cols, padded_rows
 
 
+def _elim(apply_bcs: bool) -> bool:
+    """Eliminated-BC smoothing gate — single source of truth lives in
+    multigrid._ELIM_BC_SMOOTH so the sharded tier stays iteration-parity
+    with the single-device solver under A/B flips (lazy import: multigrid
+    is imported inside functions here to avoid a cycle)."""
+    from fpr_tpu.solvers import multigrid
+
+    return bool(apply_bcs and multigrid._ELIM_BC_SMOOTH)
+
+
 # ---------------------------------------------------------------------------
 # static shard plan
 # ---------------------------------------------------------------------------
@@ -225,6 +235,7 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
         u, res_ps = pallas2d.smooth2r_split_rp(
             u, f, ny_lm, nx_gm, br_m, h_m, c, alpha,
             zero_u=zero_u, row_off=off_m, ny_mask=ny_gm, ns=cfg.pre_smooth,
+            elim=_elim(apply_bcs),
         )
         down.append((u, f, (ny_lm, ny_gm, nx_gm, br_m, h_m, off_m)))
         res_c = _restrict_ps_cols(res_ps, ny_lm, br_m, nx_gm,
@@ -247,7 +258,7 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
             corr_glob = jnp.zeros_like(res_glob)
             corr_glob, _ = vcycle(
                 corr_glob, res_glob, h_m * 2.0, c, tol, sub_cfg,
-                apply_bcs=apply_bcs,
+                apply_bcs=apply_bcs, elim=_elim(apply_bcs),
             )
 
     # ---- up sweep ----
@@ -290,7 +301,7 @@ def _vcycle_dist(e_rp, r_rp, plan: ShardPlan, h: float, c, tol: float,
         u, _ = pallas2d.corr_smooth2_raw(
             u, f, corrx_rp, ny_lm, nx_gm, br_m, h_m, c, alpha,
             with_norm=False, row_off=off_m, ny_mask=ny_gm,
-            ns=cfg.post_smooth,
+            ns=cfg.post_smooth, elim=_elim(apply_bcs),
         )
         corr_rp_next = u
     return u

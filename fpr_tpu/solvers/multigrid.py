@@ -152,7 +152,7 @@ def _coarse_solve(u, f, h, c, tol, cfg: MGConfig, smooth):
 
 
 def vcycle(u, f, h, c, tol, cfg: MGConfig, apply_bcs: bool = False,
-           constrain=None):
+           constrain=None, elim: bool = False):
     """One V-cycle; returns (u, r_rms of the final fine-level smooth).
 
     Unrolled at trace time over the static level ladder.
@@ -161,10 +161,23 @@ def vcycle(u, f, h, c, tol, cfg: MGConfig, apply_bcs: bool = False,
     applied to every level's working arrays — the distributed solver
     (fpr_tpu.solvers.dist_multigrid) injects per-level GSPMD sharding
     constraints through it; None is a no-op.
+
+    elim: eliminated-BC smoothing (side columns copied from their interior
+    neighbor after every sweep — see _ELIM_BC_SMOOTH).  Set ONLY by the
+    small-level subtree handoffs of the ds/rp correction cycles so the jnp
+    subtree relaxes the same side-constrained operator as the fused legs
+    above it; the direct mg_solve iterate path keeps reference semantics.
     """
     from fpr_tpu.ops import transfer
 
-    smooth, residual = _smooth_fns(cfg)
+    smooth0, residual = _smooth_fns(cfg)
+    if elim:
+        def smooth(u, f, h, c, with_norm):
+            u, r = smooth0(u, f, h, c, with_norm)
+            u = u.at[:, 0].set(u[:, 1]).at[:, -1].set(u[:, -2])
+            return u, r
+    else:
+        smooth = smooth0
     ny, nx = u.shape
     levels = mg_levels(nx, ny, cfg.coarse_size)  # validates 2^k+1 sides
     restrict = (
@@ -282,6 +295,23 @@ PALLAS_MIN_AREA = 1024 * 1024
 # kept + equivalence-tested (tests/test_multigrid.py:241) as the seam.
 _FUSE_DST_CORR = False
 
+# Eliminated-BC smoothing for apply_bcs correction cycles (round 5): the
+# fused legs copy the Neumann side columns from their interior neighbor
+# after EVERY Jacobi sweep, so the cycle relaxes the same side-constrained
+# operator the outer defect measures.  Without it the correction cycle
+# smooths the sides as Dirichlet-0 and the BC contraction degrades to
+# ~0.75/cycle (the documented cold-BC stagnation; on the NS semi path the
+# warm T Helmholtz solve measured 16 outer defect iterations vs 7 with
+# elimination, flat 0.09 contraction — CPU probe + TPU A/B, CLAUDE.md
+# round-5).  Preconditioner-only: the true defect pass and the converged
+# solution contract are untouched; reference cycles (multigrid.jl) apply
+# BCs only in the transfers, exactly our elim=False behavior.
+_ELIM_BC_SMOOTH = True
+
+
+def _elim(apply_bcs: bool) -> bool:
+    return bool(apply_bcs and _ELIM_BC_SMOOTH)
+
 
 def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
               assume_zero_u=False):
@@ -312,7 +342,8 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         # pin the small-level subtree to the jnp tier (pad-per-call Pallas
         # drop-ins would dominate at these sizes)
         sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
-        u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs)
+        u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs,
+                          elim=_elim(apply_bcs))
         br = pallas2d._pick_br(ny, nx, jnp.dtype(u.dtype).itemsize)
         return pallas2d.pad2d(u, br), r_rms
 
@@ -325,7 +356,7 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         # restriction row pass in one HBM pass (parity-split output)
         u_rp, res_ps = pallas2d.smooth2r_split_rp(
             u_rp, f_rp, ny, nx, br, h, c, alpha, zero_u=assume_zero_u,
-            ns=cfg.pre_smooth,
+            ns=cfg.pre_smooth, elim=_elim(apply_bcs),
         )
         res_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=apply_bcs)
     else:
@@ -357,6 +388,7 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         u_rp, r_rms = pallas2d.corr_smooth2_rp(
             u_rp, f_rp, pallas2d.unpad2d(corr_rp, nyc, nxc), ny, nx, br, h, c,
             alpha, apply_bcs=apply_bcs, with_norm=True, ns=cfg.post_smooth,
+            elim=_elim(apply_bcs),
         )
     else:
         corr_f = transfer.prolongate_rp(
@@ -417,7 +449,8 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
             u = pallas2d.unpad2d(L[0], ny, nx)
         f = pallas2d.unpad2d(L[1], ny, nx)
         sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
-        u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs)
+        u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs,
+                          elim=_elim(apply_bcs))
         br = pallas2d._pick_br(ny, nx, jnp.dtype(L.dtype).itemsize)
         return L.at[0].set(pallas2d.pad2d(u, br)), r_rms
 
@@ -425,7 +458,8 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     alpha = cfg.jacobi_damping
 
     L, res_ps = pallas2d.smooth2r_stk(
-        L, ny, nx, br, h, c, alpha, zero_u=assume_zero_u, ns=cfg.pre_smooth
+        L, ny, nx, br, h, c, alpha, zero_u=assume_zero_u, ns=cfg.pre_smooth,
+        elim=_elim(apply_bcs),
     )
 
     if (
@@ -473,7 +507,7 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     corrx_rp = corrx_rp.at[pallas2d.PAD : pallas2d.PAD + corrx.shape[0], :nx].set(corrx)
     L, r_rms = pallas2d.corr_smooth2_stk(
         L, corrx_rp, ny, nx, br, h, c, alpha, with_norm=True,
-        ns=cfg.post_smooth,
+        ns=cfg.post_smooth, elim=_elim(apply_bcs),
     )
     return L, r_rms
 
