@@ -40,6 +40,17 @@ def main():
         "sequential levels per V-cycle (the dominant per-step latency). "
         "NOTE: DST-257 is now the fast tier's DEFAULT at production sizes "
         "(navier_stokes.fast_mg_default); this flag overrides it")
+    ap.add_argument(
+        "--s-tol-factor", type=float, default=None,
+        help="fast tier only: relax the streamfunction solve tolerance to "
+        "FACTOR*tol*rms(W) (NSConfig.s_tol_factor — measured to preserve "
+        "exact explicit step parity to factor 1000; see "
+        "benchmark-results/ns_s_tol_factor.json)")
+    ap.add_argument(
+        "--label", type=str, default=None,
+        help="override the CSV solver label (resume-by-key tier name), "
+        "e.g. 'fast_r5' to record a new sweep generation without "
+        "clobbering committed rows")
     ap.add_argument("--reps", type=int, default=None,
                     help="timed repetitions (median + iqr recorded). "
                     "Default: 3 for the jit-cached fast tier, 1 for the "
@@ -69,7 +80,7 @@ def main():
     pr_values = [args.Pr] if args.Pr is not None else [1e-3, 1e-2, 1e-1, 1.0, 10.0]
     # --mg-dst rows are a distinct tier in the CSV (else resume-by-key
     # would silently skip them in favor of the cached plain-fast rows).
-    solver_label = (
+    solver_label = args.label or (
         f"fast_dst{args.mg_dst}" if args.mg_dst else args.solver
     )
     betas = (
@@ -92,6 +103,10 @@ def main():
                 mg_kw["mg"] = MGConfig(
                     coarse_size=args.mg_dst, coarse_solver=CoarseSolver.DST
                 )
+            if args.s_tol_factor:
+                if args.solver != "fast":
+                    raise SystemExit("--s-tol-factor applies to the fast tier")
+                mg_kw["s_tol_factor"] = args.s_tol_factor
             cfg = NSConfig(
                 nx=nx, ny=ny, Pr=Pr, beta=beta, ttot=args.ttot, tol=args.tol,
                 niters=50, mg_solver=args.solver, **mg_kw,
