@@ -101,9 +101,12 @@ def plot_timestepping(results: Path, figs: Path):
         return
     rows = _read(path)
     # the committed full-scale table carries several solver tiers
-    # (mixed / fast / fast_dst* A-B rows); plot the production tier
-    if any(r.get("solver") == "fast" for r in rows):
-        rows = [r for r in rows if r.get("solver") == "fast"]
+    # (mixed / fast / fast_dst* A-B rows / fast_r5 generations); plot the
+    # newest production tier present
+    for tier in ("fast_r5", "fast"):
+        if any(r.get("solver") == tier for r in rows):
+            rows = [r for r in rows if r.get("solver") == tier]
+            break
     fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
     for beta in sorted({r["beta"] for r in rows}):
         sel = sorted(

@@ -81,9 +81,11 @@ def _warn_unconverged(solver: str, r_rms, tolf, it, niters: int,
     if not _debug_callbacks_supported():
         return
     hint = (
-        " (known cold-BC stagnation: apply_bcs smooths the Neumann side "
-        "columns as Dirichlet-0 — reference-parity behavior, see "
-        "mg_solve_ds_rp's docstring)" if apply_bcs else ""
+        " (known cold-BC stagnation: the jnp-tier iterate cycle smooths "
+        "the Neumann side columns as Dirichlet-0 — reference-parity "
+        "behavior; the ds/rp correction cycles avoid it via eliminated-BC "
+        "smoothing (_ELIM_BC_SMOOTH), see mg_solve_ds_rp's docstring)"
+        if apply_bcs else ""
     )
     jax.lax.cond(
         jnp.logical_and(it >= niters, r_rms >= tolf),
