@@ -83,6 +83,11 @@ def main():
     solver_label = args.label or (
         f"fast_dst{args.mg_dst}" if args.mg_dst else args.solver
     )
+    if args.s_tol_factor and not args.label:
+        # relaxed-tolerance rows must never share a tier name (and thus a
+        # resume key) with reference-semantics rows
+        solver_label = f"{solver_label}_stol{args.s_tol_factor:g}"
+
     betas = (
         tuple(float(b) for b in args.betas.split(","))
         if args.betas else (0.0, 0.5, 1.0)

@@ -315,6 +315,21 @@ def _build(ny, nx, dtype_name, BR, h, alpha, mode, with_norm, interpret):
     )
 
 
+
+def _elim_copy(V, gx, nx):
+    """Eliminated-BC smoothing step (apply_bcs correction cycles): the side
+    columns become copies of their interior neighbor, so the cycle relaxes
+    the same Neumann-constrained operator the outer defect measures — the
+    ~0.75/cycle BC contraction penalty vanishes (measured: NS T Helmholtz
+    16 -> 10 outers at full scale, CLAUDE.md round-5).  Pure preconditioner
+    change: the true defect pass is untouched, so converged results keep
+    reference semantics.  Shared by all four fused legs (the stk and split
+    kernels must stay bitwise-identical)."""
+    vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
+    vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+    V = jnp.where(gx == 0, vr, V)
+    return jnp.where(gx == nx - 1, vl, V)
+
 def _smooth2r_kernel(
     c_ref, u_hbm, f_hbm, out_hbm,
     slabs, fbufs, results, sem_u, sem_f, sem_out,
@@ -410,17 +425,7 @@ def _smooth2r_kernel(
         )
 
     def eliml(V):
-        # eliminated-BC smoothing (apply_bcs correction cycles): the side
-        # columns are copies of their interior neighbor after EVERY sweep,
-        # so the cycle relaxes the same Neumann-constrained operator the
-        # outer defect measures — the ~0.75/cycle BC contraction penalty
-        # vanishes (measured: NS T Helmholtz 16 -> 7 outers, CLAUDE.md
-        # round-5).  Pure preconditioner change: the true defect pass is
-        # untouched, so converged results keep reference semantics.
-        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
-        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
-        V = jnp.where(gx == 0, vr, V)
-        return jnp.where(gx == nx - 1, vl, V)
+        return _elim_copy(V, gx, nx)
 
     assert 1 <= ns <= PAD - 2, ns
     if zero_u:
@@ -700,11 +705,7 @@ def _corr_smooth2_kernel(
         )
 
     def eliml(V):
-        # eliminated-BC smoothing — see _smooth2r_kernel
-        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
-        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
-        V = jnp.where(gx == 0, vr, V)
-        return jnp.where(gx == nx - 1, vl, V)
+        return _elim_copy(V, gx, nx)
 
     u2 = eliml(U) if elim else U
     res2 = None
@@ -1094,11 +1095,7 @@ def _smooth2r_stk_kernel(
         )
 
     def eliml(V):
-        # eliminated-BC smoothing — see _smooth2r_kernel
-        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
-        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
-        V = jnp.where(gx == 0, vr, V)
-        return jnp.where(gx == nx - 1, vl, V)
+        return _elim_copy(V, gx, nx)
 
     if zero_u:
         res1 = jnp.where(interior, -F, jnp.asarray(0.0, dtype))
@@ -1317,11 +1314,7 @@ def _corr_smooth2_stk_kernel(
         )
 
     def eliml(V):
-        # eliminated-BC smoothing — see _smooth2r_kernel
-        vl = jnp.concatenate([V[:, :1], V[:, :-1]], axis=1)
-        vr = jnp.concatenate([V[:, 1:], V[:, -1:]], axis=1)
-        V = jnp.where(gx == 0, vr, V)
-        return jnp.where(gx == nx - 1, vl, V)
+        return _elim_copy(V, gx, nx)
 
     u2 = eliml(U) if elim else U
     res2 = None

@@ -55,13 +55,12 @@ from fpr_tpu.ops.pallas2d import PAD, padded_cols, padded_rows
 
 
 def _elim(apply_bcs: bool) -> bool:
-    """Eliminated-BC smoothing gate — single source of truth lives in
-    multigrid._ELIM_BC_SMOOTH so the sharded tier stays iteration-parity
-    with the single-device solver under A/B flips (lazy import: multigrid
-    is imported inside functions here to avoid a cycle)."""
+    """Eliminated-BC smoothing gate — delegates to multigrid._elim (single
+    source of truth) so the sharded tier stays iteration-parity with the
+    single-device solver under A/B flips (lazy import avoids a cycle)."""
     from fpr_tpu.solvers import multigrid
 
-    return bool(apply_bcs and multigrid._ELIM_BC_SMOOTH)
+    return multigrid._elim(apply_bcs)
 
 
 # ---------------------------------------------------------------------------

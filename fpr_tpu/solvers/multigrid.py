@@ -316,7 +316,7 @@ def _elim(apply_bcs: bool) -> bool:
 
 
 def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
-              assume_zero_u=False):
+              assume_zero_u=False, elim=False):
     """One V-cycle on row-padded operands with the fused Pallas smoother at
     large levels, handing the subtree below PALLAS_MIN_AREA to the jnp tier.
 
@@ -324,6 +324,10 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     assume_zero_u: caller guarantees u_rp == 0 (defect-correction top
     levels; always true for the recursive coarse corrections) — the
     downward leg then skips the u stream entirely, bitwise-identically.
+    elim: eliminated-BC smoothing on every leg and the jnp subtree (see
+    _ELIM_BC_SMOOTH) — set by CORRECTION-cycle callers only
+    (mg_solve_ds_rp / mg_solve_mixed pass _elim(apply_bcs)); the iterate
+    path (mg_solve_rp) keeps reference trajectory semantics.
     Returns (u_rp', r_rms of the final fine-level smooth).
     """
     from fpr_tpu.ops import pallas2d, transfer
@@ -345,7 +349,7 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         # drop-ins would dominate at these sizes)
         sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
         u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs,
-                          elim=_elim(apply_bcs))
+                          elim=elim)
         br = pallas2d._pick_br(ny, nx, jnp.dtype(u.dtype).itemsize)
         return pallas2d.pad2d(u, br), r_rms
 
@@ -358,7 +362,7 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         # restriction row pass in one HBM pass (parity-split output)
         u_rp, res_ps = pallas2d.smooth2r_split_rp(
             u_rp, f_rp, ny, nx, br, h, c, alpha, zero_u=assume_zero_u,
-            ns=cfg.pre_smooth, elim=_elim(apply_bcs),
+            ns=cfg.pre_smooth, elim=elim,
         )
         res_c = transfer.restrict_ps(res_ps, ny, nx, br, apply_bcs=apply_bcs)
     else:
@@ -382,7 +386,7 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     fc_rp = pallas2d.pad2d(res_c, brc)
     corr_rp, _ = vcycle_rp(
         corr_rp, fc_rp, nyc, nxc, h * 2.0, c, tol, cfg, apply_bcs=apply_bcs,
-        assume_zero_u=True,
+        assume_zero_u=True, elim=elim,
     )
 
     if 1 <= cfg.post_smooth <= 6:
@@ -390,7 +394,7 @@ def vcycle_rp(u_rp, f_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         u_rp, r_rms = pallas2d.corr_smooth2_rp(
             u_rp, f_rp, pallas2d.unpad2d(corr_rp, nyc, nxc), ny, nx, br, h, c,
             alpha, apply_bcs=apply_bcs, with_norm=True, ns=cfg.post_smooth,
-            elim=_elim(apply_bcs),
+            elim=elim,
         )
     else:
         corr_f = transfer.prolongate_rp(
@@ -425,7 +429,7 @@ def _stk_eligible(cfg: MGConfig) -> bool:
 
 
 def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
-               assume_zero_u=False):
+               assume_zero_u=False, elim=False):
     """One V-cycle on the stacked level state L = (2, total, nxp) [u | f],
     with BOTH fused legs aliased onto L (u and f travel in one two-chunk
     DMA; f persists with zero traffic).  The downward residual is a
@@ -452,7 +456,7 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
         f = pallas2d.unpad2d(L[1], ny, nx)
         sub_cfg = dataclasses.replace(cfg, policy=ExecutionPolicy.JNP)
         u, r_rms = vcycle(u, f, h, c, tol, sub_cfg, apply_bcs=apply_bcs,
-                          elim=_elim(apply_bcs))
+                          elim=elim)
         br = pallas2d._pick_br(ny, nx, jnp.dtype(L.dtype).itemsize)
         return L.at[0].set(pallas2d.pad2d(u, br)), r_rms
 
@@ -461,7 +465,7 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
 
     L, res_ps = pallas2d.smooth2r_stk(
         L, ny, nx, br, h, c, alpha, zero_u=assume_zero_u, ns=cfg.pre_smooth,
-        elim=_elim(apply_bcs),
+        elim=elim,
     )
 
     if (
@@ -497,7 +501,7 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     Lc = Lc.at[1, pallas2d.PAD : pallas2d.PAD + nyc, :nxc].set(res_c)
     Lc, _ = vcycle_stk(
         Lc, nyc, nxc, h * 2.0, c, tol, cfg, apply_bcs=apply_bcs,
-        assume_zero_u=True,
+        assume_zero_u=True, elim=elim,
     )
 
     corrx = pallas2d.x_interleave_coarse(
@@ -509,7 +513,7 @@ def vcycle_stk(L, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False,
     corrx_rp = corrx_rp.at[pallas2d.PAD : pallas2d.PAD + corrx.shape[0], :nx].set(corrx)
     L, r_rms = pallas2d.corr_smooth2_stk(
         L, corrx_rp, ny, nx, br, h, c, alpha, with_norm=True,
-        ns=cfg.post_smooth, elim=_elim(apply_bcs),
+        ns=cfg.post_smooth, elim=elim,
     )
     return L, r_rms
 
@@ -610,7 +614,7 @@ def mg_solve_mixed(
         for cyc in range(inner_cycles):
             e_rp, e_rms = vcycle_rp(
                 e_rp, r32_rp, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs,
-                assume_zero_u=(cyc == 0),
+                assume_zero_u=(cyc == 0), elim=_elim(apply_bcs),
             )
         e = pallas2d.unpad2d(e_rp, ny, nx).astype(u.dtype) * safe
         u = u - e
@@ -713,7 +717,7 @@ def _fmg_guess(r32_rp, ny, nx, h, c, tol, cfg: MGConfig, apply_bcs=False):
         )
         Ll, _ = vcycle_stk(
             Ll, nyl, nxl, hl, c, tol, cfg, apply_bcs=apply_bcs,
-            assume_zero_u=False,
+            assume_zero_u=False, elim=_elim(apply_bcs),
         )
         e = pallas2d.unpad2d(Ll[0], nyl, nxl)
 
@@ -859,7 +863,7 @@ def mg_solve_ds_rp(
             for cyc in range(inner_cycles):
                 L, _ = vcycle_stk(
                     L, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs,
-                    assume_zero_u=(cyc == 0),
+                    assume_zero_u=(cyc == 0), elim=_elim(apply_bcs),
                 )
             out = dsm.defect_pass_stk(u_ds, f_ds, L, 1.0, ny, nx, br, h, c, **kw)
             if extras_on:
@@ -882,7 +886,7 @@ def mg_solve_ds_rp(
         for cyc in range(inner_cycles):
             e_rp, _ = vcycle_rp(
                 e_rp, r32, ny, nx, h, c, tol, cfg, apply_bcs=apply_bcs,
-                assume_zero_u=(cyc == 0),
+                assume_zero_u=(cyc == 0), elim=_elim(apply_bcs),
             )
         out = dsm.defect_pass(u_ds, f_ds, e_rp, 1.0, ny, nx, br, h, c, **kw)
         if extras_on:
