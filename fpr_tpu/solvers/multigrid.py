@@ -303,9 +303,9 @@ _FUSE_DST_CORR = False
 # operator the outer defect measures.  Without it the correction cycle
 # smooths the sides as Dirichlet-0 and the BC contraction degrades to
 # ~0.75/cycle (the documented cold-BC stagnation; on the NS semi path the
-# warm T Helmholtz solve measured 16 outer defect iterations vs 7 with
-# elimination, flat 0.09 contraction — CPU probe + TPU A/B, CLAUDE.md
-# round-5).  Preconditioner-only: the true defect pass and the converged
+# warm T Helmholtz solve measured 16 outer defect iterations vs 10 with
+# elimination under the production DST-257 ladder — 7 in the
+# full-recursion CPU probe, flat 0.09 contraction — CLAUDE.md round-5).  Preconditioner-only: the true defect pass and the converged
 # solution contract are untouched; reference cycles (multigrid.jl) apply
 # BCs only in the transfers, exactly our elim=False behavior.
 _ELIM_BC_SMOOTH = True

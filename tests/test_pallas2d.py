@@ -161,8 +161,9 @@ def test_elim_bc_smoothing_cuts_apply_bcs_outers(rng, monkeypatch):
     """Eliminated-BC smoothing (the round-5 apply_bcs preconditioner): the
     correction cycles copy the Neumann side columns after every sweep, so
     the BC contraction penalty vanishes — same converged solution, far
-    fewer outer defect iterations (the NS semi T-solve measured 16 -> 7
-    on TPU; this is the CPU witness)."""
+    fewer outer defect iterations (the NS semi T-solve measured 16 -> 10
+    on TPU under the production DST-257 ladder, 16 -> 7 in the
+    full-recursion CPU probe; this is the CPU witness)."""
     monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
     ny, nx = 65, 257
     h = 1.0 / (ny - 1)
