@@ -382,3 +382,25 @@ def test_vcycle_stk_deep_smoothing_matches_vcycle_rp(rng, monkeypatch):
         )
         np.testing.assert_allclose(I(u_rp), I(L[0]), atol=1e-13)
         assert abs(float(r_rp) - float(r_stk)) < 1e-13
+
+
+def test_rp_iterate_path_keeps_reference_trajectory_with_bcs(rng, monkeypatch):
+    """mg_solve_rp is an ITERATE solver ('same contract as mg_solve'), so
+    unlike the ds/mixed correction cycles it must NOT pick up eliminated-BC
+    smoothing from apply_bcs — on the cold weak-shift BC solve where both
+    tiers stagnate, their trajectories must stay identical even with the
+    elim default ON (the review scenario for the elim plumbing)."""
+    monkeypatch.setattr(multigrid, "PALLAS_MIN_AREA", 65 * 65)
+    assert multigrid._ELIM_BC_SMOOTH  # the default stays on for this test
+    ny, nx = 65, 257
+    h = 1.0 / (ny - 1)
+    c = 50.0
+    b = jnp.asarray(rng.random((ny, nx)))
+    u_ref, _, it_ref = multigrid.mg_solve(
+        jnp.zeros((ny, nx)), b, h, c, 1e-8, 12, apply_bcs=True
+    )
+    u_rp, _, it_rp = multigrid.mg_solve_rp(
+        jnp.zeros((ny, nx)), b, h, c, 1e-8, 12, apply_bcs=True
+    )
+    assert int(it_rp) == int(it_ref)
+    np.testing.assert_allclose(np.asarray(u_rp), np.asarray(u_ref), atol=1e-6)
