@@ -29,7 +29,10 @@ $PY -m fpr_tpu.experiments.multigrid_bench --workprec --max-k 14 \
 
 echo "== NS timestepping (full 2049x513 scale; resume-by-key) =="
 $PY -m fpr_tpu.experiments.ns_timestepping --solver fast \
-    --out "$RESULTS/ns_fullscale.csv"
+    --out "$RESULTS/ns_fullscale.csv" --label fast_r5
+$PY -m fpr_tpu.experiments.ns_timestepping --solver fast \
+    --out "$RESULTS/ns_fullscale.csv" --label fast_r5_stol100 \
+    --s-tol-factor 100 --betas 0.0
 $PY -m fpr_tpu.experiments.ns_timestepping --solver mixed \
     --out "$RESULTS/ns_fullscale.csv"
 
