@@ -281,35 +281,40 @@ def check_aliased_kernels():
     nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
     coarse = jax.random.uniform(jax.random.PRNGKey(10), (nyc, nxc), jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames="depth")
-    def legs_old(f_rp, depth):
+    @functools.partial(jax.jit, static_argnames=("depth", "elim"))
+    def legs_old(f_rp, depth, elim):
         zero = jnp.zeros((total, nxp), jnp.float32)
         u1, _ = pallas2d.smooth2r_split_rp(
-            zero, f_rp, ny, nx, br, h, c, zero_u=True, ns=depth)
-        u2, r2 = pallas2d.smooth2r_split_rp(u1, f_rp, ny, nx, br, h, c, ns=depth)
+            zero, f_rp, ny, nx, br, h, c, zero_u=True, ns=depth, elim=elim)
+        u2, r2 = pallas2d.smooth2r_split_rp(u1, f_rp, ny, nx, br, h, c,
+                                            ns=depth, elim=elim)
         u3, n3 = pallas2d.corr_smooth2_rp(
-            u2, f_rp, coarse, ny, nx, br, h, c, with_norm=True, ns=depth)
+            u2, f_rp, coarse, ny, nx, br, h, c, with_norm=True, ns=depth,
+            elim=elim)
         return u3, r2, n3
 
-    @functools.partial(jax.jit, static_argnames="depth")
-    def legs_stk(f_rp, depth):
+    @functools.partial(jax.jit, static_argnames=("depth", "elim"))
+    def legs_stk(f_rp, depth, elim):
         L = jnp.zeros((2, total, nxp), jnp.float32).at[1].set(f_rp)
-        L, _ = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, zero_u=True, ns=depth)
-        L, r2 = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, ns=depth)
+        L, _ = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, zero_u=True,
+                                     ns=depth, elim=elim)
+        L, r2 = pallas2d.smooth2r_stk(L, ny, nx, br, h, c, ns=depth, elim=elim)
         corrx = pallas2d.x_interleave_coarse(coarse)
         rows_needed = pallas2d.corr_rows_needed(ny, br)
         corrx_rp = jnp.zeros((rows_needed, nxp), corrx.dtype)
         corrx_rp = corrx_rp.at[P : P + corrx.shape[0], :nx].set(corrx)
         L, n3 = pallas2d.corr_smooth2_stk(
-            L, corrx_rp, ny, nx, br, h, c, with_norm=True, ns=depth)
+            L, corrx_rp, ny, nx, br, h, c, with_norm=True, ns=depth, elim=elim)
         return L[0], r2, n3
 
     # depth 2 = reference shape; depth 5 = the production deep-smoothed
     # config (longer VPU chains shift DMA/compute timing, so the race
-    # check must witness both)
-    for depth in (2, 5):
-        uo, ro, no = legs_old(f_rp, depth)
-        us, rs, ns_ = legs_stk(f_rp, depth)
+    # check must witness both); (3, elim) = the apply_bcs eliminated-BC
+    # production config — its lane shifts only lower correctly on real
+    # Mosaic, which interpret mode cannot witness
+    for depth, elim in ((2, False), (5, False), (3, True)):
+        uo, ro, no = legs_old(f_rp, depth, elim)
+        us, rs, ns_ = legs_stk(f_rp, depth, elim)
         W = slice(P, total - P)
         for name, x, y in [
             ("u", np.asarray(uo)[W], np.asarray(us)[W]),
@@ -317,12 +322,13 @@ def check_aliased_kernels():
         ]:
             if not np.array_equal(x, y):
                 raise AssertionError(
-                    f"ALIASED-KERNEL RACE (2D stk, {name}, V({depth},{depth})): "
-                    f"{int((x != y).sum())} cells differ"
+                    f"ALIASED-KERNEL RACE (2D stk, {name}, V({depth},{depth}), "
+                    f"elim={elim}): {int((x != y).sum())} cells differ"
                 )
         if float(no) != float(ns_):
             raise AssertionError(
-                f"ALIASED-KERNEL RACE (2D stk, V({depth},{depth})): norm mismatch")
+                f"ALIASED-KERNEL RACE (2D stk, V({depth},{depth}), "
+                f"elim={elim}): norm mismatch")
     return True
 
 
